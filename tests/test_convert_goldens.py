@@ -1,0 +1,123 @@
+"""Golden conversion tests ported from the reference test suite.
+
+Sources: OpenccNetTests/OpenccNetTests.cs (cited per case in FIXTURES.md §3-5).
+These pin the pure-Python matcher; the Spark path is pinned separately in
+test_spark_functions.py by running the same fixtures through pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from openccnet_spark import CONFIGS, Converter
+
+CC = Converter()
+
+GOLDENS = [
+    # (config, punct, input, expected)
+    ("s2t", False, "俨骖𬴂于上路，访风景于崇阿；临帝子之长洲，得天人之旧馆。",
+     "儼驂騑於上路，訪風景於崇阿；臨帝子之長洲，得天人之舊館。"),
+    ("s2t", False, "几千只", "幾千隻"),
+    ("s2t", True, "你好“世界”！“龙马精神”", "你好「世界」！「龍馬精神」"),
+    ("t2s", False, "美麗", "美丽"),
+    ("t2s", True, "你好「世界」！", "你好“世界”！"),
+    ("s2twp", False, "软件", "軟體"),
+    ("s2twp", False, "软件为", "軟體為"),
+    ("s2hkp", False, "别随便录影侵犯个人隐私权", "別隨便錄影侵犯個人私隱權"),
+    ("tw2sp", False, "軟體", "软件"),
+    ("hk2sp", False, "別隨便錄影侵犯個人私隱權", "别随便录影侵犯个人隐私权"),
+    ("t2hkp", False, "別隨便錄影侵犯個人隱私權", "別隨便錄影侵犯個人私隱權"),
+    ("hk2tp", False, "別隨便錄影侵犯個人私隱權", "別隨便錄影侵犯個人隱私權"),
+    ("s2hk", False, "电台", "電台"),
+    ("hk2s", False, "資訊", "资讯"),
+    ("t2tw", False, "娘惹糉子", "娘惹粽子"),
+    ("tw2t", False, "針核裡才吃著灶煙", "針核裡才吃著灶煙"),
+    ("hk2t", False, "針核裡才吃著灶煙", "針核裡才吃著灶煙"),
+    # empty / passthrough
+    ("s2t", False, "", ""),
+    ("s2t", False, "no cjk at all", "no cjk at all"),
+]
+
+
+@pytest.mark.parametrize("config,punct,inp,expected", GOLDENS)
+def test_golden(config, punct, inp, expected):
+    assert CC.convert(inp, config, punct) == expected
+
+
+def test_invalid_config_falls_back_to_s2t():
+    # reference: invalid config -> s2t with recorded error (Opencc.cs:650-695)
+    assert CC.convert("测试", "not_a_config") == "測試"
+
+
+def test_all_20_configs_run():
+    for cfg in CONFIGS:
+        out = CC.convert("汉字文化圈", cfg)
+        assert isinstance(out, str) and out
+
+
+@pytest.mark.parametrize("inp,expected", [("发", "發"), ("A发😀台!", "A發😀臺!")])
+def test_st(inp, expected):
+    assert CC.st(inp) == expected
+
+
+@pytest.mark.parametrize("inp,expected", [("發髮後臺", "发发后台"), ("A發😀臺!", "A发😀台!")])
+def test_ts(inp, expected):
+    assert CC.ts(inp) == expected
+
+
+@pytest.mark.parametrize(
+    "inp,expected",
+    [
+        ("这是简体字。", 2),
+        ("这是一个简体中文文本。", 2),
+        ("這是繁體字。", 1),
+        ("這是一個繁體中文文本。", 1),
+        ("汉漢", 1),  # ts_characters probed first (Opencc.cs:2197)
+        ("English 😀 123!", 0),
+        ("This is some English text.", 0),
+        ("", 0),
+    ],
+)
+def test_zho_check(inp, expected):
+    assert CC.zho_check(inp) == expected
+
+
+def test_normalize_compat():
+    # U+F900 (compat) -> U+8C48
+    assert CC.normalize_compat("豈") == "豈"
+    assert CC.normalize_compat("plain 文本") == "plain 文本"
+    # astral compat block U+2F800 -> U+4E3D
+    assert CC.normalize_compat("\U0002f800") == "丽"
+
+
+def test_detofu():
+    # ExtB: 𬴂 (U+2CD02) -> 騑; unmapped astral preserved
+    assert CC.detofu("骖𬴂") == "骖騑"
+    assert CC.detofu("𱁬") == "𱁬"
+    # ExtI-only level disables ExtB mappings
+    assert CC.detofu("𬴂", level=7) == "𬴂"
+
+
+def test_ids_preservation():
+    assert CC.convert("⿰口馬", "t2s") == "⿰口马"
+    assert CC.convert("⿰口馬", "t2s", preserve_ids=True) == "⿰口馬"
+    assert (
+        CC.convert("漢字結構：⿰氵漢（漢）", "t2s", preserve_ids=True)
+        == "汉字结构：⿰氵漢（汉）"
+    )
+
+
+def test_round_trips():
+    # north_star round-trip fixtures: s2t/t2s and s2tw/tw2sp pairs
+    simp = "别随便录影侵犯个人隐私权，软件为你服务。"
+    trad = CC.convert(simp, "s2t")
+    assert CC.convert(trad, "t2s") == simp
+    tw = CC.convert("软件", "s2twp")
+    assert CC.convert(tw, "tw2sp") == "软件"
+
+
+def test_punctuation_round_trip():
+    s = "你好“世界”！"
+    t = CC.convert(s, "s2t", punct=True)
+    assert t == "你好「世界」！"
+    assert CC.convert(t, "t2s", punct=True) == s
