@@ -1,0 +1,158 @@
+"""Vectorized pandas/Arrow UDF surface of the engine (SURVEY.md §2.7).
+
+Design rules:
+
+* **No per-row Python UDFs.** Every text operator is a ``pandas_udf``
+  receiving an Arrow batch as ``pd.Series[str]`` (BASELINE input_hint).
+* **Dictionaries load once per executor.** The compiled bundle ships inside
+  the package (``--py-files`` / local module path) and is materialized
+  lazily on each Python worker via an ``lru_cache`` (the analog of the
+  reference's lazy static init + warmup, ``Opencc.cs:781-830``). This gives
+  the north_rule's "dictionary broadcasts shared across stages" property
+  without re-pickling 65k entries into task closures. Custom-dictionary
+  variants are keyed by their spec and cached the same way.
+* Relational work (lengths, ratios, regex scrub, keep/drop) stays in
+  JVM built-ins — see ``openccnet_spark.operators.quality``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType
+
+from ..convert import Converter
+from ..dictionary import load_bundle, parse_dict_text
+
+
+@lru_cache(maxsize=32)
+def _worker_converter(custom_key: tuple | None = None) -> Converter:
+    """Per-worker Converter. ``custom_key`` = tuple of (slot, mode, text)."""
+    bundle = load_bundle()
+    if custom_key:
+        overrides: dict = {}
+        appends: dict = {}
+        for slot, mode, text in custom_key:
+            target = overrides if mode == "override" else appends
+            target[slot] = parse_dict_text(text)
+        bundle = bundle.with_custom(overrides=overrides, appends=appends)
+    return Converter(bundle)
+
+
+def _freeze_custom(custom: list | None) -> tuple | None:
+    """``[(slot, 'append'|'override', dict_text), ...]`` -> hashable key."""
+    if not custom:
+        return None
+    return tuple((s, m, t) for s, m, t in custom)
+
+
+def convert_udf(
+    config: str = "t2s",
+    punct: bool = False,
+    preserve_ids: bool = False,
+    normalize_compat: bool = False,
+    detofu_level: int | None = None,
+    custom: list | None = None,
+):
+    """O1/O2 as a vectorized UDF, with the CLI pipeline order baked in
+    (reference ``ConvertCommand.cs:211-301``): NormalizeCompat (optional)
+    -> Convert rounds -> DeTofu (optional).
+    """
+    key = _freeze_custom(custom)
+
+    @F.pandas_udf(StringType())
+    def _convert(s: pd.Series) -> pd.Series:
+        cc = _worker_converter(key)
+
+        def one(text):
+            if text is None:
+                return None
+            if normalize_compat:
+                text = cc.normalize_compat(text)
+            text = cc.convert(text, config, punct, preserve_ids)
+            if detofu_level is not None:
+                text = cc.detofu(text, detofu_level)
+            return text
+
+        return s.map(one)
+
+    return _convert
+
+
+def st_udf():
+    """O10 ``St`` char-only conversion."""
+
+    @F.pandas_udf(StringType())
+    def _st(s: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return s.map(lambda t: cc.st(t) if t is not None else None)
+
+    return _st
+
+
+def ts_udf():
+    """O10 ``Ts`` char-only conversion."""
+
+    @F.pandas_udf(StringType())
+    def _ts(s: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return s.map(lambda t: cc.ts(t) if t is not None else None)
+
+    return _ts
+
+
+def zho_check_udf():
+    """O11 script detection: 1=Traditional, 2=Simplified, 0=neither."""
+
+    @F.pandas_udf(IntegerType())
+    def _zho(s: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return s.map(lambda t: cc.zho_check(t) if t is not None else 0).astype("int32")
+
+    return _zho
+
+
+def normalize_compat_udf():
+    """O12 CJK compatibility-ideograph normalization as its own column op."""
+
+    @F.pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return s.map(lambda t: cc.normalize_compat(t) if t is not None else None)
+
+    return _norm
+
+
+def detofu_udf(level: int = 0):
+    """O13 DeTofu display fallback as its own column op."""
+
+    @F.pandas_udf(StringType())
+    def _detofu(s: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return s.map(lambda t: cc.detofu(t, level) if t is not None else None)
+
+    return _detofu
+
+
+def langid_udf():
+    """fastText-style language ID (hashed char n-gram profiles)."""
+    from .langid import detect_language
+
+    @F.pandas_udf(StringType())
+    def _langid(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: detect_language(t) if t is not None else "und")
+
+    return _langid
+
+
+def ppl_udf():
+    """KenLM-style char-bigram perplexity of the (converted) text."""
+    from .ppl import perplexity
+
+    @F.pandas_udf("double")
+    def _ppl(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: perplexity(t) if t is not None else float("inf"))
+
+    return _ppl
