@@ -1,38 +1,326 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline at sf0.001;
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent the driver compares against at sf0.01 (row-count + schema +
+order-insensitive value-hash).
+
+Float discipline: computed doubles never cross the comparison boundary raw —
+they are floored to integer milli/cent units (identical IEEE inputs =>
+identical floors in both engines). Pass-through parquet doubles are safe.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openccnet_spark import Converter
+from openccnet_spark.fixtures import CONVERT_GOLDENS, ZHO_CHECK_GOLDENS
+from openccnet_spark.functions import convert_cols_udf, zho_check_udf
+from openccnet_spark.operators import quality as Q
+from openccnet_spark.operators.pipeline import quality_filter, reference_label
+from openccnet_spark.sources.transcripts import (
+    POOL,
+    n_conv_for_sf,
+    pool_text,
+    spark_transcripts,
+    transcripts_sql,
+)
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full keep/drop + scrub pipeline over the synthetic
+    transcripts table at sf0.001 scale (~5k turns)."""
+    df = spark_transcripts(spark, n_conv_for_sf("sf0.001"))
+    out = quality_filter(df, config="t2s", salt_partitions=8)
+    return out.select(
+        "conv_id", "turn_idx", "role", "keep", "drop_reason", "lang",
+        "text_converted", "text_scrubbed",
+        F.floor(F.col("ppl") * 1000).cast("long").alias("ppl_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (conversion + langid + ppl + heuristics + scrub) over
+    the deterministic transcripts table; per-turn output."""
+    df = spark_transcripts(spark, n_conv_for_sf(sf_dir))
+    out = quality_filter(df, config="t2s", salt_partitions=32)
+    return out.select(
+        "conv_id", "turn_idx", "keep", "drop_reason", "lang",
+        "text_converted", "text_scrubbed",
+        F.floor(F.col("ppl") * 1000).cast("long").alias("ppl_milli"),
+    )
+
+
+def _q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic gate over the documents table — dual-computed (the oracle
+    re-derives every metric in SQL, no precomputed labels)."""
+    df = _read(spark, sf_dir, "documents").withColumn(
+        "text_converted", F.coalesce(F.col("text"), F.lit(""))
+    )
+    df = Q.with_quality_columns(df, "text_converted")
+    return df.select(
+        "doc_id",
+        F.col("char_len").cast("long").alias("char_len"),
+        F.col("word_cnt").cast("long").alias("word_cnt"),
+        F.floor(F.col("uniq_ratio") * 1000).cast("long").alias("uniq_milli"),
+        F.floor(F.col("symbol_ratio") * 1000).cast("long").alias("symbol_milli"),
+        Q.drop_reason_expr(ppl_col=None).alias("drop_reason"),
+        Q.lang_simple_col(F.col("text_converted")).alias("lang_simple"),
+        Q.scrub_col(F.col("text_converted")).alias("text_scrubbed"),
+    )
+
+
+def _q_convert_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 20 conversion configs over the reference golden fixtures."""
+    rows = [(i, c, p, t) for i, (c, p, t, _e) in enumerate(CONVERT_GOLDENS)]
+    df = spark.createDataFrame(rows, "case_id int, config string, punct boolean, input string")
+    return df.select(
+        "case_id", "config",
+        convert_cols_udf()("config", "punct", "input").alias("output"),
+    )
+
+
+def _q_zho_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(i, t) for i, (t, _e) in enumerate(ZHO_CHECK_GOLDENS)]
+    df = spark.createDataFrame(rows, "case_id int, input string")
+    return df.select("case_id", zho_check_udf()("input").alias("zho"))
+
+
+def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (the metrics-rollup stage of SURVEY §2.2).
+
+    Money sums are floored to integer cents per-row before summing so both
+    engines add exact integers (order-independent)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + project with predicate/column pushdown to parquet."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long").alias("revenue_cents"),
+    )
+
+
+def _q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders x customer x nation with explicit broadcast of the dims."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+def _q_window_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-ordering window (row_number per customer by date, tiebreak key)."""
+    from pyspark.sql.window import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+def _q_antijoin_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-resume anti-join pattern: customers with no orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_transcripts": _q_pipeline,
+        "quality_documents": _q_quality_documents,
+        "convert_goldens": _q_convert_goldens,
+        "zho_check_goldens": _q_zho_check,
+        "metrics_rollup": _q_metrics_rollup,
+        "filter_project": _q_filter_project,
+        "broadcast_join": _q_broadcast_join,
+        "window_first_order": _q_window_first_order,
+        "antijoin_resume": _q_antijoin_resume,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _pipeline_oracle(sf_dir_sf: str = "sf0.01") -> str:
+    """Pool-literal oracle: regenerate the identical transcripts table in
+    SQL, then look up the expected label of each turn by pool index. The
+    labels are computed by the pure-Python *reference path* — this is the
+    F1/byte-exactness gate of BASELINE.json, executed by the driver."""
+    cc = Converter()
+    keeps, reasons, langs, convs, scrubs, ppls, reps = [], [], [], [], [], [], []
+    for i, (base, rep) in enumerate(POOL):
+        full = reference_label(pool_text(i), "t2s", converter=cc)
+        base_ref = reference_label(base, "t2s", converter=cc)
+        # converted/scrubbed of (base*rep) must equal (converted/scrubbed of
+        # base)*rep so the SQL can use repeat(); guaranteed because every
+        # rep>1 entry ends with a delimiter (no cross-junction match) —
+        # assert here so a pool edit can't silently break the oracle.
+        assert full["text_converted"] == base_ref["text_converted"] * rep, i
+        assert full["text_scrubbed"] == base_ref["text_scrubbed"] * rep, i
+        keeps.append("true" if full["keep"] else "false")
+        reasons.append(_sq(full["drop_reason"]))
+        langs.append(_sq(full["lang"]))
+        convs.append(_sq(base_ref["text_converted"]))
+        scrubs.append(_sq(base_ref["text_scrubbed"]))
+        ppls.append(str(math.floor(full["ppl"] * 1000)))
+        reps.append(str(rep))
+    n_conv = n_conv_for_sf(sf_dir_sf)
+    return f"""
+WITH t AS ({transcripts_sql(n_conv)})
+SELECT conv_id, turn_idx,
+       ([{', '.join(keeps)}])[pool_idx + 1] AS keep,
+       ([{', '.join(reasons)}])[pool_idx + 1] AS drop_reason,
+       ([{', '.join(langs)}])[pool_idx + 1] AS lang,
+       repeat(([{', '.join(convs)}])[pool_idx + 1],
+              ([{', '.join(reps)}])[pool_idx + 1]) AS text_converted,
+       repeat(([{', '.join(scrubs)}])[pool_idx + 1],
+              ([{', '.join(reps)}])[pool_idx + 1]) AS text_scrubbed,
+       ([{', '.join(ppls)}])[pool_idx + 1]::BIGINT AS ppl_milli
+FROM t
+"""
+
+
+def _convert_goldens_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {_sq(c)}, {_sq(e)})" for i, (c, _p, _t, e) in enumerate(CONVERT_GOLDENS)
+    )
+    return (
+        "SELECT case_id::INT AS case_id, config, output "
+        f"FROM (VALUES {rows}) AS v(case_id, config, output)"
+    )
+
+
+def _zho_oracle() -> str:
+    rows = ", ".join(f"({i}, {e})" for i, (_t, e) in enumerate(ZHO_CHECK_GOLDENS))
+    return f"SELECT case_id::INT AS case_id, zho::INT AS zho FROM (VALUES {rows}) AS v(case_id, zho)"
+
+
+def _quality_documents_oracle() -> str:
+    t = "coalesce(text, '')"
+    return f"""
+SELECT doc_id,
+       length({t})::BIGINT AS char_len,
+       len(string_split({t}, ' '))::BIGINT AS word_cnt,
+       floor({Q.sql_uniq_ratio(t)} * 1000)::BIGINT AS uniq_milli,
+       floor({Q.sql_symbol_ratio(t)} * 1000)::BIGINT AS symbol_milli,
+       {Q.sql_drop_reason(t)} AS drop_reason,
+       {Q.sql_lang_simple(t)} AS lang_simple,
+       {Q.sql_scrub(t)} AS text_scrubbed
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pipeline_transcripts": _pipeline_oracle("sf0.01"),
+        "quality_documents": _quality_documents_oracle(),
+        "convert_goldens": _convert_goldens_oracle(),
+        "zho_check_goldens": _zho_oracle(),
+        "metrics_rollup": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "filter_project": """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * l_discount * 100)::BIGINT AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_quantity < 24
+""",
+        "broadcast_join": """
+SELECT n_name, c_mktsegment,
+       count(*) AS n_orders,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+""",
+        "window_first_order": """
+SELECT o_custkey, first_orderkey FROM (
+  SELECT o_custkey, o_orderkey AS first_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+        "antijoin_resume": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    }

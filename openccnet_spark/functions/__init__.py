@@ -81,6 +81,22 @@ def convert_udf(
     return _convert
 
 
+def convert_cols_udf():
+    """O1 with per-row (config, punct) columns — used by the golden-fixture
+    driver query where each row names its own conversion direction."""
+
+    @F.pandas_udf(StringType())
+    def _convert(config: pd.Series, punct: pd.Series, text: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        out = [
+            None if t is None else cc.convert(t, c, bool(p))
+            for c, p, t in zip(config, punct, text)
+        ]
+        return pd.Series(out)
+
+    return _convert
+
+
 def st_udf():
     """O10 ``St`` char-only conversion."""
 
