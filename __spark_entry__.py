@@ -185,6 +185,96 @@ def _q_antijoin_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents + planted exact copies."""
+    from openccnet_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_doubled_docs(spark, sf_dir))
+
+
+def _mutant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-duplicates (each doc minus its last word)."""
+    docs = _read(spark, sf_dir, "documents")
+    mutated = docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text",
+        F.expr(
+            "substring(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
+        ),
+    )
+    return docs.unionByName(mutated)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified by exact Jaccard; the oracle
+    recomputes ALL >= threshold pairs brute-force, so this also checks LSH
+    recall at the configured banding."""
+    from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_mutant_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (xxhash64-based => engine-specific; rows-only check)."""
+    from openccnet_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_mutant_docs(spark, sf_dir))
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings + planted copies."""
+    from openccnet_spark.operators.similarity import embedding_near_duplicates
+
+    embs = _read(spark, sf_dir, "embeddings")
+    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    return embedding_near_duplicates(doubled, threshold_milli=990)
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors 0..4."""
+    from openccnet_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (approximate => rows-only check;
+    recall vs the exact path is asserted in tests)."""
+    from openccnet_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, quality score, fingerprint over documents."""
+    from openccnet_spark.operators import textstats as T
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.whitespace_token_count(t).cast("long").alias("ws_tokens"),
+        T.regex_token_count(t).cast("long").alias("re_tokens"),
+        T.quality_score_milli(t).alias("quality_milli"),
+        T.fingerprint64(t).alias("fingerprint"),
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction (decode stubbed, plumbing real).
+    checksum is crc32 (not SQL-expressible) => excluded; fake dims are."""
+    from openccnet_spark.operators.multimodal import (
+        extract_image_features,
+        with_binary_payload,
+    )
+
+    feats = extract_image_features(with_binary_payload(_read(spark, sf_dir, "documents")))
+    return feats.select("doc_id", "n_bytes", "width", "height", "mode")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_transcripts": _q_pipeline,
@@ -196,6 +286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": _q_broadcast_join,
         "window_first_order": _q_window_first_order,
         "antijoin_resume": _q_antijoin_resume,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_ann": _q_similarity_ann,
+        "textstats": _q_textstats,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -217,20 +315,26 @@ def _pipeline_oracle(sf_dir_sf: str = "sf0.01") -> str:
     keeps, reasons, langs, convs, scrubs, ppls, reps = [], [], [], [], [], [], []
     for i, (base, rep) in enumerate(POOL):
         full = reference_label(pool_text(i), "t2s", converter=cc)
-        base_ref = reference_label(base, "t2s", converter=cc)
+        keeps.append("true" if full["keep"] else "false")
+        reasons.append(_sq(full["drop_reason"]))
+        langs.append(_sq(full["lang"]) if full["lang"] is not None else "NULL")
+        ppls.append(
+            str(math.floor(full["ppl"] * 1000)) if full["ppl"] is not None else "NULL"
+        )
+        reps.append(str(rep))
+        if full["text_converted"] is None:
+            convs.append("NULL")
+            scrubs.append("NULL")
+            continue
         # converted/scrubbed of (base*rep) must equal (converted/scrubbed of
         # base)*rep so the SQL can use repeat(); guaranteed because every
         # rep>1 entry ends with a delimiter (no cross-junction match) —
         # assert here so a pool edit can't silently break the oracle.
+        base_ref = reference_label(base, "t2s", converter=cc)
         assert full["text_converted"] == base_ref["text_converted"] * rep, i
         assert full["text_scrubbed"] == base_ref["text_scrubbed"] * rep, i
-        keeps.append("true" if full["keep"] else "false")
-        reasons.append(_sq(full["drop_reason"]))
-        langs.append(_sq(full["lang"]))
         convs.append(_sq(base_ref["text_converted"]))
         scrubs.append(_sq(base_ref["text_scrubbed"]))
-        ppls.append(str(math.floor(full["ppl"] * 1000)))
-        reps.append(str(rep))
     n_conv = n_conv_for_sf(sf_dir_sf)
     return f"""
 WITH t AS ({transcripts_sql(n_conv)})
@@ -323,4 +427,102 @@ SELECT o_custkey, first_orderkey FROM (
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
+        "dedup_exact": """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+)
+SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
+FROM d GROUP BY text
+""",
+        "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_embedding": _dedup_embedding_oracle(),
+        "similarity_topk": _similarity_topk_oracle(),
+        "textstats": _textstats_oracle(),
+        "multimodal_features": """
+SELECT doc_id,
+       octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+       (octet_length(encode(coalesce(text, ''))) % 640)::INT AS width,
+       (octet_length(encode(coalesce(text, ''))) % 480)::INT AS height,
+       'stub' AS mode
+FROM documents
+""",
+        # dedup_simhash / similarity_ann: engine-specific hashing /
+        # approximate results — intentionally rows-only (see docstrings).
     }
+
+
+def _dedup_minhash_oracle() -> str:
+    """Brute-force exact-Jaccard >= 0.7 pairs over the same mutant corpus.
+    Matching this also proves LSH recall is total at the configured banding."""
+    from openccnet_spark.operators.dedup import JACCARD_THRESHOLD
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substring(text, 1, length(text) - length(string_split(text, ' ')[-1]) - 1)
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            generate_series(1, greatest(len(w) - 2, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)
+), ne AS (SELECT * FROM sh WHERE len(s) > 0)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       floor(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 1000)::BIGINT
+         AS jaccard_milli
+FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _dedup_embedding_oracle() -> str:
+    from openccnet_spark.operators.similarity import sql_cosine
+
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       floor({cos} * 1000)::BIGINT AS cos_milli
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE floor({cos} * 1000) >= 990
+"""
+
+
+def _similarity_topk_oracle() -> str:
+    from openccnet_spark.operators.similarity import sql_cosine
+
+    cos = sql_cosine("qv", "nv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, floor({cos} * 1000)::BIGINT AS cos_milli
+      FROM q JOIN c ON query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_milli DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+
+def _textstats_oracle() -> str:
+    from openccnet_spark.operators import textstats as T
+
+    t = "coalesce(text, '')"
+    return f"""
+SELECT doc_id,
+       len(string_split({t}, ' '))::BIGINT AS ws_tokens,
+       {T.sql_regex_token_count(t)}::BIGINT AS re_tokens,
+       {T.sql_quality_score_milli(t)} AS quality_milli,
+       {T.sql_fingerprint64(t)}::BIGINT AS fingerprint
+FROM documents
+"""

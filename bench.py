@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline is the end-to-end quality-filter pipeline (read parquet ->
+convert + langid + ppl + heuristics + scrub -> noop sink), reported as
+turns/sec. The north_rule's two-cluster-size scaling criterion is evidenced
+by running the identical job at N and N/4 local cores on the same input and
+reporting throughput at both plus efficiency
+(eff = (thr_high / thr_low) / (cores_high / cores_low)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = max(CPUS // 4, 1)
+#: row multiplier for the scaling measurement — big enough that per-task UDF
+#: work dominates fixed job overhead at both core counts, small enough that
+#: the whole bench (incl. the 2-core run) stays under ~6 minutes
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "6"))
+
+
+def _hw_work(_):
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return s
+
+
+def _hw_control_efficiency() -> float:
+    """Hardware ceiling control: throughput efficiency LOW->HIGH cores of a
+    pure-Python integer loop under multiprocessing (no Spark, no shared
+    state). Sub-1.0 values here are turbo/memory clocking, not framework
+    overhead — the Spark job cannot scale better than this."""
+    import multiprocessing as mp
+
+    _work = _hw_work  # module-level: multiprocessing must pickle it
+    times = {}
+    for n in (LOW_CPUS, CPUS):
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(_work, range(n))
+            times[n] = time.perf_counter() - t0
+    # n tasks on n procs: ideal wall time is constant, so efficiency is the
+    # wall-time ratio (each proc does identical fixed work)
+    return times[LOW_CPUS] / times[CPUS]
+
+
+def _session(cores: int, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"openccnet-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def _run_to_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _bench_pipeline(spark, transcripts_path: str, partitions: int | None) -> float:
+    """partitions=None -> no salted repartition: the input parquet is
+    uniformly partitioned (as an Iceberg write distribution would be), so
+    the salt shuffle is pure overhead and is benchmarked separately."""
+    from openccnet_spark.operators.pipeline import quality_filter
+
+    df = spark.read.parquet(transcripts_path)
+    return _run_to_noop(quality_filter(df, config="t2s", salt_partitions=partitions))
+
+
+def main() -> int:
+    from openccnet_spark.sources.transcripts import n_conv_for_sf, spark_transcripts
+    import __spark_entry__ as entry_mod
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    n_conv = n_conv_for_sf(SF_DIR)
+    tmp = tempfile.mkdtemp(prefix="openccnet_bench_")
+    transcripts_path = os.path.join(tmp, "transcripts.parquet")
+    scale_path = os.path.join(tmp, "transcripts_big.parquet")
+    queries: dict[str, float] = {}
+    try:
+        # ---- full-parallelism session -----------------------------------
+        spark = _session(CPUS, CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark_transcripts(spark, n_conv, partitions=CPUS)
+        df.write.mode("overwrite").parquet(transcripts_path)
+        n_turns = spark.read.parquet(transcripts_path).count()
+        spark_transcripts(spark, n_conv * SCALE_MULT, partitions=CPUS * 4).write.mode(
+            "overwrite"
+        ).parquet(scale_path)
+        n_turns_big = spark.read.parquet(scale_path).count()
+
+        # warmup (JIT, python worker pool, dictionary load)
+        _bench_pipeline(spark, transcripts_path, CPUS)
+
+        pipeline_high = _bench_pipeline(spark, transcripts_path, None)
+        queries["pipeline_quality_filter"] = round(pipeline_high, 3)
+        queries["pipeline_salted"] = round(
+            _bench_pipeline(spark, transcripts_path, CPUS * 4), 3
+        )
+        scale_high = _bench_pipeline(spark, scale_path, None)
+        queries["pipeline_scale_test"] = round(scale_high, 3)
+
+        # secondary operator benches (driver-contract queries on sf tables)
+        q = entry_mod.queries()
+        for name in (
+            "quality_documents", "metrics_rollup", "filter_project",
+            "broadcast_join", "window_first_order", "antijoin_resume",
+        ):
+            queries[name] = round(_run_to_noop(q[name](spark, SF_DIR)), 3)
+        spark.stop()
+
+        # ---- quarter-parallelism session (scaling evidence) -------------
+        spark = _session(LOW_CPUS, LOW_CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        _bench_pipeline(spark, transcripts_path, None)  # warmup
+        scale_low = _bench_pipeline(spark, scale_path, None)
+        queries[f"pipeline_scale_test_local{LOW_CPUS}"] = round(scale_low, 3)
+        spark.stop()
+
+        # ---- unsaturated pair (cores_low/4 -> cores_low): on a 32-CPU host
+        # both runs leave headroom for the per-task JVM threads, isolating
+        # framework scaling from host saturation — the analog of adding
+        # executors to a cluster where each Python worker owns a core.
+        tiny = max(LOW_CPUS // 4, 1)
+        spark = _session(tiny, tiny)
+        spark.sparkContext.setLogLevel("ERROR")
+        _bench_pipeline(spark, transcripts_path, None)  # warmup
+        scale_tiny = _bench_pipeline(spark, scale_path, None)
+        queries[f"pipeline_scale_test_local{tiny}"] = round(scale_tiny, 3)
+        spark.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    hw_eff = _hw_control_efficiency()
+    thr_high = n_turns_big / scale_high
+    thr_low = n_turns_big / scale_low
+    efficiency = (thr_high / thr_low) / (CPUS / LOW_CPUS)
+    eff_unsat = (scale_tiny / scale_low) / (LOW_CPUS / tiny)
+    print(
+        json.dumps(
+            {
+                "metric": "quality_filter_pipeline_sec",
+                "value": round(pipeline_high, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / pipeline_high, 1),
+                "scale_test_turns": n_turns_big,
+                "scale_turns_per_sec_high": round(thr_high, 1),
+                "scale_turns_per_sec_low": round(thr_low, 1),
+                "cores_high": CPUS,
+                "cores_low": LOW_CPUS,
+                "scaling_efficiency": round(efficiency, 3),
+                "cores_tiny": tiny,
+                "scaling_efficiency_unsaturated": round(eff_unsat, 3),
+                "hw_control_efficiency": round(hw_eff, 3),
+                "scaling_efficiency_vs_hw_ceiling": round(efficiency / hw_eff, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the quality-filter pipeline.
+
+    spark-submit --master <cluster> \
+        --py-files openccnet_spark.zip \
+        jobs/run_quality_filter.py \
+        --input  /path/to/transcripts_parquet_or_iceberg_table \
+        --output /path/to/out_dir \
+        --config t2s [--punct] [--no-ppl] \
+        [--custom-dict st_phrases:append:/path/extra.txt ...] \
+        [--buckets 64] [--salt-partitions 0=auto] [--run-id r1]
+
+Build the artifact with ``python tools/package_pyfiles.py`` (zips the
+package incl. the dictionary bundle). The job is resumable: re-running with
+the same --output skips buckets already marked done in the metrics table
+(see openccnet_spark/operators/metrics.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or Iceberg table name")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", default="t2s")
+    ap.add_argument("--punct", action="store_true")
+    ap.add_argument("--no-ppl", action="store_true")
+    ap.add_argument("--preserve-ids", action="store_true")
+    ap.add_argument("--detofu-level", type=int, default=None)
+    ap.add_argument("--custom-dict", action="append", default=[],
+                    help="slot:append|override:path (repeatable)")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt-partitions", type=int, default=0,
+                    help="0 = 3x defaultParallelism")
+    ap.add_argument("--run-id", default="run")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from openccnet_spark.dictionary import load_custom_specs
+    from openccnet_spark.operators.metrics import checkpointed_quality_filter
+
+    spark = (
+        SparkSession.builder.appName(f"openccnet-quality-filter-{args.config}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    src = (
+        spark.read.table(args.input)
+        if "." in args.input and "/" not in args.input
+        else spark.read.parquet(args.input)
+    )
+    salt = args.salt_partitions or spark.sparkContext.defaultParallelism * 3
+    result = checkpointed_quality_filter(
+        spark,
+        src,
+        args.output,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+        config=args.config,
+        punct=args.punct,
+        with_ppl=not args.no_ppl,
+        preserve_ids=args.preserve_ids,
+        detofu_level=args.detofu_level,
+        custom=load_custom_specs(args.custom_dict) or None,
+        salt_partitions=salt,
+    )
+    print(
+        f"processed={len(result['processed'])} buckets, "
+        f"skipped={len(result['skipped'])} (resume)"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

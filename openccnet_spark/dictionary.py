@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import re
 from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
@@ -50,6 +51,15 @@ class RoundIndex:
     (reference StarterUnion.cs:196-305, recomputed in code points).
     ``starter_set`` backs an O(len) C-speed disjointness fast path for text
     containing no convertible characters at all.
+
+    Two execution paths share this index:
+    * the reference scalar matcher (``convert.run_round_scalar``) — the
+      semantic ground truth, used by tests;
+    * the compiled fast path: a trie regex over the multi-char keys
+      (longest-match by construction) + ``str.translate`` for the 1-char
+      keys — both C loops. Built lazily (regex compilation costs ~1 s for
+      the 50k-phrase S2T round) and cached per process, i.e. once per Spark
+      Python worker.
     """
 
     table: dict
@@ -58,6 +68,43 @@ class RoundIndex:
 
     def convertible(self, text: str) -> bool:
         return not self.starter_set.isdisjoint(text)
+
+    @property
+    def fast(self):
+        ri = self.__dict__.get("_fast")
+        if ri is None:
+            ri = _build_fast_round(self.table)
+            object.__setattr__(self, "_fast", ri)
+        return ri
+
+
+def _char_class(chars) -> str:
+    return "[" + "".join(re.escape(c) for c in sorted(chars)) + "]"
+
+
+def _build_fast_round(table: dict):
+    """(starter_re, singles_translate, multi_lengths) for the fast path.
+
+    ``starter_re`` is a single character class of every first char of a
+    multi-char key — CPython compiles a class to a bitmap, so scanning for
+    candidate phrase positions is a C loop. ``multi_lengths[c]`` lists the
+    candidate key lengths (descending) for probes at those positions.
+    Everything between candidates has only 1-char keys -> str.translate.
+    """
+    singles = {}
+    multi_lengths: dict = {}
+    for k in table:
+        if len(k) == 1:
+            singles[ord(k)] = table[k]
+        else:
+            c = k[0]
+            lens = multi_lengths.setdefault(c, set())
+            lens.add(len(k))
+    multi_lengths = {
+        c: tuple(sorted(lens, reverse=True)) for c, lens in multi_lengths.items()
+    }
+    pattern = re.compile(_char_class(multi_lengths)) if multi_lengths else None
+    return (pattern, singles, multi_lengths)
 
 
 def build_round_index(dicts: list[dict]) -> RoundIndex:
@@ -148,14 +195,57 @@ class DictionaryBundle:
 
 @lru_cache(maxsize=1)
 def load_bundle(path: str | None = None) -> DictionaryBundle:
-    """Load the compiled bundle (built by ``tools/dictgen.py``)."""
-    p = Path(path) if path else _BUNDLE_PATH
-    with gzip.open(p, "rb") as f:
-        raw = json.loads(f.read().decode("utf-8"))
+    """Load the compiled bundle (built by ``tools/dictgen.py``).
+
+    Reads via importlib.resources so it works when the package ships as a
+    ``--py-files`` zip on executors (a plain open() of the module-relative
+    path fails with NotADirectoryError inside a zipimport)."""
+    if path:
+        with gzip.open(Path(path), "rb") as f:
+            raw = json.loads(f.read().decode("utf-8"))
+    else:
+        from importlib import resources
+
+        blob = (
+            resources.files("openccnet_spark")
+            .joinpath("data/dictionary_bundle.json.gz")
+            .read_bytes()
+        )
+        raw = json.loads(gzip.decompress(blob).decode("utf-8"))
     missing = [s for s in SLOTS if s not in raw["slots"]]
     if missing:
         raise ValueError(f"bundle missing slots: {missing}")
     return DictionaryBundle(raw["slots"], raw["compat_ideographs"], raw["detofu"], raw.get("meta"))
+
+
+def parse_custom_spec(spec: str) -> tuple:
+    """Parse a ``<slot>:<append|override>:<path>`` custom-dictionary spec
+    (reference ``CustomDictSpec.cs:33-140`` / dictgen ``-D`` flag).
+
+    Returns (slot, mode, path). Path may contain ':' (split limited)."""
+    parts = spec.split(":", 2)
+    if len(parts) != 3:
+        raise ValueError(f"bad custom dict spec (want slot:mode:path): {spec!r}")
+    slot, mode, path = parts[0].strip(), parts[1].strip().lower(), parts[2].strip()
+    if slot not in SLOTS:
+        raise ValueError(f"unknown dictionary slot: {slot!r}")
+    if mode not in ("append", "override"):
+        raise ValueError(f"mode must be append|override: {mode!r}")
+    if not path:
+        raise ValueError(f"empty path in spec: {spec!r}")
+    return slot, mode, path
+
+
+def load_custom_specs(specs) -> list:
+    """Read spec files into the [(slot, mode, dict_text), ...] form used by
+    ``functions.convert_udf(custom=...)`` (text is shipped in the closure so
+    executors never need driver-local paths)."""
+    out = []
+    for spec in specs:
+        slot, mode, path = parse_custom_spec(spec)
+        with open(path, encoding="utf-8") as f:
+            out.append((slot, mode, f.read()))
+    return out
 
 
 def parse_dict_text(text: str) -> dict:

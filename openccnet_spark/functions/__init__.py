@@ -81,6 +81,103 @@ def convert_udf(
     return _convert
 
 
+def pipeline_struct_udf(
+    config: str = "t2s",
+    punct: bool = False,
+    normalize_compat: bool = True,
+    detofu_level: int | None = None,
+    custom: list | None = None,
+    with_ppl: bool = True,
+    preserve_ids: bool = False,
+):
+    """The fused hot path: convert + langid + metrics + scrub + (gated) ppl
+    in ONE pandas UDF — one Python worker per task, one Arrow round-trip.
+
+    Why everything text-touching lives here:
+    * Three chained scalar UDFs become three ArrowEvalPython operators,
+      each with its own Python worker per task — at local[32] that is ~96
+      Python processes thrashing 32 cores (measured 2x SLOWER than
+      local[8]).
+    * Spark's regexp_replace measured ~50x slower than CPython's ``re`` on
+      this corpus (one 48.9 s symbol-class pass vs a 1.0 s scan baseline at
+      local[32]; UTF8String->UTF-16 conversion per regex op). The bytes are
+      already in Python for conversion, so the string metrics and PII scrub
+      ride the same pass for near-zero marginal cost.
+    The JVM side keeps the raw-length pre-gate, the drop_reason CASE chain
+    (pure int/double arithmetic) and all relational operators.
+
+    The perplexity skip for rows already dropped by the heuristic rules
+    happens inside (same rule constants as the JVM CASE chain, so the
+    emitted ppl is NULL exactly where drop_reason says the row died
+    earlier).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.quality import (
+        REP_MIN_WORDS,
+        REP_UNIQUE_RATIO,
+        SYMBOL_RATIO,
+        quality_metrics,
+        scrub_text,
+    )
+    from .langid import detect_language
+    from .ppl import perplexity
+
+    key = _freeze_custom(custom)
+    schema = StructType(
+        [
+            StructField("text_converted", StringType()),
+            StructField("lang", StringType()),
+            StructField("ppl", DoubleType()),
+            StructField("char_len", IntegerType()),
+            StructField("word_cnt", IntegerType()),
+            StructField("uniq_ratio", DoubleType()),
+            StructField("symbol_ratio", DoubleType()),
+            StructField("text_scrubbed", StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    @F.pandas_udf(schema)
+    def _run(s: pd.Series) -> pd.DataFrame:
+        cc = _worker_converter(key)
+        rows = []
+        for t in s:
+            if t is None:
+                rows.append((None,) * len(cols))
+                continue
+            x = cc.normalize_compat(t) if normalize_compat else t
+            x = cc.convert(x, config, punct, preserve_ids)
+            if detofu_level is not None:
+                x = cc.detofu(x, detofu_level)
+            lang = detect_language(x)
+            m = quality_metrics(x)
+            p = None
+            if with_ppl:
+                alive = not (
+                    m["word_cnt"] >= REP_MIN_WORDS
+                    and m["uniq_ratio"] < REP_UNIQUE_RATIO
+                ) and not m["symbol_ratio"] > SYMBOL_RATIO
+                if alive:
+                    p = perplexity(x)
+            # Arrow-volume compression: identity results travel as NULL and
+            # are reconstituted JVM-side (most turns convert to themselves,
+            # and scrubbed == converted unless PII matched).
+            scrub = scrub_text(x)
+            rows.append(
+                (x if x != t else None, lang, p, m["char_len"], m["word_cnt"],
+                 m["uniq_ratio"], m["symbol_ratio"], scrub if scrub != x else None)
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return _run
+
+
 def convert_cols_udf():
     """O1 with per-row (config, punct) columns — used by the golden-fixture
     driver query where each row names its own conversion direction."""
@@ -158,7 +255,7 @@ def langid_udf():
 
     @F.pandas_udf(StringType())
     def _langid(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: detect_language(t) if t is not None else "und")
+        return s.map(lambda t: detect_language(t) if t is not None else None)
 
     return _langid
 
@@ -169,6 +266,6 @@ def ppl_udf():
 
     @F.pandas_udf("double")
     def _ppl(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: perplexity(t) if t is not None else float("inf"))
+        return s.map(lambda t: perplexity(t) if t is not None else None)
 
     return _ppl

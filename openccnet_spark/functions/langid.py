@@ -18,24 +18,21 @@ Classification:
 from __future__ import annotations
 
 import math
+import re
+import zlib
 from collections import Counter
 from functools import lru_cache
 
 HAN_RATIO = 0.05
 
-_HAN_RANGES = ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),
-               (0x20000, 0x2EBEF), (0x30000, 0x323AF))
+_HAN_RE = re.compile(
+    "[㐀-䶿一-鿿豈-﫿"
+    "\U00020000-\U0002ebef\U00030000-\U000323af]"
+)
 
 
 def han_count(text: str) -> int:
-    n = 0
-    for c in text:
-        cp = ord(c)
-        for lo, hi in _HAN_RANGES:
-            if lo <= cp <= hi:
-                n += 1
-                break
-    return n
+    return len(_HAN_RE.findall(text))
 
 
 # Seed corpora: a few hundred chars of ordinary prose per language.
@@ -82,16 +79,13 @@ _HASH_BUCKETS = 4096
 
 
 def _trigrams(text: str):
-    t = f"  {text.lower()} "
+    t = f"  {text.lower()} ".encode("utf-8")
     for i in range(len(t) - 2):
-        yield hash_trigram(t[i : i + 3])
+        yield zlib.crc32(t[i : i + 3]) % _HASH_BUCKETS
 
 
 def hash_trigram(g: str) -> int:
-    h = 0
-    for c in g:
-        h = (h * 31 + ord(c)) & 0xFFFFFFFF
-    return h % _HASH_BUCKETS
+    return zlib.crc32(g.encode("utf-8")) % _HASH_BUCKETS
 
 
 @lru_cache(maxsize=1)
@@ -105,21 +99,35 @@ def _profiles():
     return out
 
 
+@lru_cache(maxsize=1)
+def _combined_profile():
+    """bucket -> (w_lang0, w_lang1, ...) — one dict probe per trigram."""
+    profiles = _profiles()
+    buckets = set().union(*profiles.values())
+    return {
+        b: tuple(profiles[lang].get(b, 0.0) for lang in _LANGS) for b in buckets
+    }
+
+SAMPLE_CHARS = 240
+
+
 def detect_language(text: str) -> str:
     if not text or not text.strip():
         return "und"
-    sample = text[:500]
+    sample = text[:SAMPLE_CHARS]
     n = len(sample)
     if han_count(sample) >= HAN_RATIO * n:
         return "zh"
     if not any(c.isalpha() for c in sample):
         return "und"
-    profiles = _profiles()
-    scores = dict.fromkeys(_LANGS, 0.0)
+    combined = _combined_profile()
+    get = combined.get
+    scores = [0.0] * len(_LANGS)
     for b in _trigrams(sample):
-        for lang in _LANGS:
-            w = profiles[lang].get(b)
-            if w is not None:
-                scores[lang] += w
-    best = max(_LANGS, key=lambda l: scores[l])
-    return best if scores[best] > 0 else "und"
+        w = get(b)
+        if w is not None:
+            for i, wi in enumerate(w):
+                if wi:
+                    scores[i] += wi
+    best = max(range(len(_LANGS)), key=scores.__getitem__)
+    return _LANGS[best] if scores[best] > 0 else "und"

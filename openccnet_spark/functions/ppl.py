@@ -20,7 +20,7 @@ import math
 from collections import Counter
 from functools import lru_cache
 
-MAX_SCORE_CHARS = 1000
+MAX_SCORE_CHARS = 300  # enough evidence for the gate; caps per-turn cost
 _K = 0.1
 _LAM = 0.8
 
@@ -82,6 +82,13 @@ def log_prob(a: str, b: str) -> float:
     return math.log(p)
 
 
+# Memo of log P(b|a) keyed by the 2-char string a+b. Values are pure
+# functions of the embedded model, so caching never changes results; the
+# cap only bounds worker memory on adversarial inputs.
+_MEMO: dict = {}
+_MEMO_CAP = 1 << 20
+
+
 def perplexity(text: str) -> float:
     """Character-bigram perplexity of the first MAX_SCORE_CHARS chars.
 
@@ -91,11 +98,19 @@ def perplexity(text: str) -> float:
     t = text.strip()[:MAX_SCORE_CHARS] if text else ""
     if len(t) < 2:
         return 0.0
+    memo = _MEMO
+    if len(memo) > _MEMO_CAP:
+        memo.clear()
     total = 0.0
     n = 0
     prev = t[0]
     for c in t[1:]:
-        total += log_prob(prev, c)
+        k = prev + c
+        lp = memo.get(k)
+        if lp is None:
+            lp = log_prob(prev, c)
+            memo[k] = lp
+        total += lp
         n += 1
         prev = c
     return math.exp(-total / n)

@@ -37,10 +37,12 @@ PPL_MAX = 200.0  # applies to lang == 'zh' text (see functions/ppl.py)
 #: Drop rules in priority order; first triggered wins. "none" == keep.
 DROP_RULES = ("too_short", "too_long", "repetitive", "symbol_dense", "high_ppl")
 
-# Portable character classes (explicit ranges only — identical semantics in
-# Java regex, RE2 and Python re; BMP Han blocks: URO, ExtA, compat).
-HAN_CLASS = "\\u4e00-\\u9fff\\u3400-\\u4dbf\\uf900-\\ufaff"
-NON_SYMBOL_CLASS = f"A-Za-z0-9 \\t\\n\\r{HAN_CLASS}"
+# Portable character classes: LITERAL characters only (BMP Han blocks: URO,
+# ExtA, compat). Escapes are a trap — RE2 (DuckDB) silently matches nothing
+# for "\\u4e00" while Java regex honors it; literal chars behave identically
+# in Java regex, RE2 and Python re.
+HAN_CLASS = "一-鿿㐀-䶿豈-﫿"
+NON_SYMBOL_CLASS = f"A-Za-z0-9 \t\n\r{HAN_CLASS}"
 SYMBOL_RE = f"[^{NON_SYMBOL_CLASS}]"
 HAN_RE = f"[{HAN_CLASS}]"
 
@@ -102,6 +104,22 @@ def drop_reason_expr(ppl_col: str | None = "ppl", lang_col: str | None = "lang")
             cond = cond & (F.col(lang_col) == "zh")
         reason = reason.when(cond, "high_ppl")
     return reason.otherwise("none")
+
+
+def pre_drop_expr(raw_len_col: Column) -> Column:
+    """Length rules evaluated on the RAW text, before conversion — rows
+    failing them never enter the expensive Arrow UDFs (NULL == survives)."""
+    return F.when(raw_len_col < MIN_CHARS, "too_short").when(
+        raw_len_col > MAX_CHARS, "too_long"
+    )
+
+
+def post_drop_expr() -> Column:
+    """Heuristic rules on the converted text's metric columns (NULL == survives)."""
+    return F.when(
+        (F.col("word_cnt") >= REP_MIN_WORDS) & (F.col("uniq_ratio") < REP_UNIQUE_RATIO),
+        "repetitive",
+    ).when(F.col("symbol_ratio") > SYMBOL_RATIO, "symbol_dense")
 
 
 def lang_simple_col(col: Column) -> Column:

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: cross join restricted to the
+  query set, JVM-side fold for the dot product (no Python), window top-k.
+  The baseline and the verifier for approximate variants.
+* ``lsh_ann_topk`` — random-hyperplane LSH buckets as the scale path:
+  candidates = vectors sharing a bucket with the query in any of several
+  hash tables, then exact re-rank within candidates. At 100 TB the bucket
+  join replaces the cross join — the shuffle carries (bucket_key, id,
+  vector) instead of the full N x Q product.
+* ``embedding_near_duplicates`` — pairs with cosine >= threshold via the
+  same machinery (dedup use case).
+
+Numeric discipline: elements are cast float32 -> float64 BEFORE any
+arithmetic and accumulated left-to-right (``F.aggregate`` fold), which is
+bit-reproducible across engines — the DuckDB oracle writes the same fold
+explicitly, so similarity values compare exactly (floored to milli units).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_HYPERPLANES = 8
+N_TABLES = 8
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    sq = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.sqrt(sq)
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours for each query id (excluding self).
+
+    Output: (query_id, neighbor_id, cos_milli, rank). Tie-break on
+    neighbor_id so ordering is total and engine-independent.
+    """
+    queries = df.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        queries.join(F.broadcast(corpus), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_milli"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_milli", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, seed: int = 0xC0FFEE) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (LCG -> uniform [-1, 1))."""
+    n = N_TABLES * N_HYPERPLANES * dim
+    state = seed
+    vals = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        vals[i] = state / float(1 << 62) - 1.0
+    return vals.reshape(N_TABLES, N_HYPERPLANES, dim)
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray, table: int):
+    """Sign-bucket key of one hash table, as a JVM expression."""
+    bits = []
+    for j in range(planes.shape[1]):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[table, j]])
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << j))
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return F.concat_ws("_", F.lit(table), key)
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidate buckets + exact re-rank."""
+    planes = _hyperplanes(dim)
+    buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
+    )
+    q = tagged.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = tagged.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_milli"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_milli", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold_milli: int = 990,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+
+    Brute force at test scale; the LSH bucket join above is the 100 TB path
+    (same verify step, candidate generation swapped).
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos_milli", F.floor(cosine_col("va", "vb") * 1000).cast("long"))
+        .filter(F.col("cos_milli") >= threshold_milli)
+        .select("a", "b", "cos_milli")
+    )
+
+
+def sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """The identical left-to-right fold as DuckDB SQL (oracle side)."""
+    terms = " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    return "(" + terms + ")"
+
+
+def sql_norm(a: str, dim: int = 64) -> str:
+    terms = " + ".join(f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1))
+    return f"sqrt({terms})"
+
+
+def sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return f"({sql_dot(a, b, dim)} / ({sql_norm(a, dim)} * {sql_norm(b, dim)}))"

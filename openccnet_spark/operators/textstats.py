@@ -1,0 +1,84 @@
+"""Text analysis operators: token counting, quality scoring, fingerprints.
+
+All JVM built-ins (regexp/array/aggregate expressions) — zero Python in
+these paths, so they ride whole-stage codegen and scale linearly with cores.
+Patterns use only explicit character classes so the DuckDB oracle can run
+the byte-identical regex (RE2 vs Java regex agreement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .quality import HAN_CLASS
+
+#: BPE-ish token pattern: letter runs, digit runs, single Han chars,
+#: any other non-space symbol — one match per token.
+TOKEN_RE = f"[A-Za-z]+|[0-9]+|[{HAN_CLASS}]|[^A-Za-z0-9 \t\n\r]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Tokens by single-space split (matches `len(text.split(' '))`)."""
+    return F.size(F.split(col, " "))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count via the portable TOKEN_RE."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def sql_regex_token_count(t: str) -> str:
+    return f"len(regexp_extract_all({t}, '{TOKEN_RE}'))"
+
+
+def quality_score_milli(col: Column) -> Column:
+    """Composite quality score in [0, 1000]: rewards moderate length and
+    lexical diversity, penalizes symbol density. Deterministic integer
+    output (floored milli units)."""
+    n = F.length(col)
+    words = F.split(col, " ")
+    uniq = F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1))
+    symbols = (n - F.length(F.regexp_replace(col, f"[^A-Za-z0-9 \t\n\r{HAN_CLASS}]", ""))) / F.greatest(n, F.lit(1))
+    length_term = F.least(n.cast("double") / 200.0, F.lit(1.0))
+    score = (0.4 * length_term + 0.4 * uniq + 0.2 * (1.0 - symbols))
+    return F.floor(score * 1000).cast("long")
+
+
+def sql_quality_score_milli(t: str) -> str:
+    sym = (
+        f"(length({t}) - length(regexp_replace({t}, '[^A-Za-z0-9 \\t\\n\\r{HAN_CLASS}]', '', 'g')))"
+        f" / greatest(length({t}), 1)::DOUBLE"
+    )
+    uniq = (
+        f"len(list_distinct(string_split({t}, ' ')))::DOUBLE"
+        f" / greatest(len(string_split({t}, ' ')), 1)"
+    )
+    return (
+        f"floor((0.4 * least(length({t})::DOUBLE / 200.0, 1.0)"
+        f" + 0.4 * {uniq} + 0.2 * (1.0 - {sym})) * 1000)::BIGINT"
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """Rolling polynomial hash over the text's code points (document
+    fingerprint): h = (h * 31 + codepoint) mod 2^31-1, left fold.
+
+    Uses only integer arithmetic on ``ascii()`` of each character so the
+    fold is engine-portable (both Spark and DuckDB ``ascii`` return the
+    code point of the first character).
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 2147483647,
+    )
+
+
+def sql_fingerprint64(t: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split_regex({t}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % 2147483647)"
+    )

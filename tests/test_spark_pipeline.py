@@ -88,13 +88,18 @@ def test_pipeline_matches_reference_labels(spark, transcripts):
     for row, (cid, t, _role, text, _tool, _ts, _pidx) in zip(rows, ref_rows):
         assert (row.conv_id, row.turn_idx) == (cid, t)
         ref = reference_label(text, "t2s", converter=cc)
+        ppl_equal = (
+            row.ppl is None and ref["ppl"] is None
+            or row.ppl is not None and ref["ppl"] is not None
+            and abs(row.ppl - ref["ppl"]) <= 1e-12
+        )
         if (
             row.text_converted != ref["text_converted"]
             or row.text_scrubbed != ref["text_scrubbed"]
             or row.lang != ref["lang"]
             or row.drop_reason != ref["drop_reason"]
             or row.keep != ref["keep"]
-            or abs(row.ppl - ref["ppl"]) > 1e-12
+            or not ppl_equal
         ):
             mismatches += 1
     assert mismatches == 0
@@ -105,7 +110,9 @@ def test_pipeline_plan_shape(spark, transcripts):
     out = quality_filter(transcripts, salt_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # only the salted repartition
-    assert "ArrowEvalPython" in plan  # vectorized UDFs, not BatchEvalPython
+    # exactly ONE fused Arrow stage: one Python worker per task (three
+    # chained UDFs ran 2x slower at local[32] from worker oversubscription)
+    assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan  # no per-row Python anywhere
 
 

@@ -1,0 +1,138 @@
+"""Tests for the training-data operators: dedup, similarity, textstats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openccnet_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    n = docs.count()
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    out = dedup.exact_duplicates(doubled).collect()
+    assert len(out) == n  # one group per distinct text
+    assert all(r.n_copies == 2 for r in out)
+    assert all(r.canonical_id < 100000 for r in out)  # min id wins
+
+
+def _with_mutants(docs):
+    """Append near-duplicates: each doc minus its last word."""
+    mutated = docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text",
+        F.expr("substring(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"),
+    )
+    return docs.unionByName(mutated)
+
+
+def test_minhash_near_duplicates(spark, docs):
+    n = docs.count()
+    pairs = dedup.minhash_near_duplicates(_with_mutants(docs)).collect()
+    found = {(r.a, r.b) for r in pairs}
+    planted = {(i, i + 100000) for i in range(n)}
+    missing = planted - found
+    assert not missing, f"LSH missed {len(missing)} planted near-dup pairs"
+    for r in pairs:
+        assert r.jaccard_milli >= 700
+
+
+def test_simhash_near_duplicates(spark, docs):
+    pairs = dedup.simhash_near_duplicates(_with_mutants(docs), max_hamming=3).collect()
+    found = {(r.a, r.b) for r in pairs}
+    n = docs.count()
+    planted = {(i, i + 100000) for i in range(n)}
+    # SimHash @ hamming<=3 is intentionally strict: dropping a word from a
+    # short doc can flip >3 bits, so recall on these mutants is ~80% (the
+    # operator contract is "very close texts", not MinHash-style Jaccard)
+    assert len(planted & found) >= 0.75 * n
+    assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_cosine_topk_self_similarity(spark, embs):
+    doubled = embs.unionByName(
+        embs.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    out = similarity.cosine_topk(doubled, query_ids=[0, 1, 2], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        # the exact copy is the nearest neighbour with cos == 1.0
+        assert rows[0].neighbor_id == q + 100000
+        assert rows[0].cos_milli == 1000
+
+
+def test_lsh_ann_finds_planted_neighbors(spark, embs):
+    # ANN's contract is near-duplicate retrieval: a true close neighbour
+    # (cos ~ 1.0) must land in the same bucket. Random-noise nearest
+    # neighbours (cos ~ 0.45) are NOT recoverable by hyperplane LSH and we
+    # do not claim them.
+    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    approx = similarity.lsh_ann_topk(doubled, query_ids=[0, 1, 2, 3, 4], k=1).collect()
+    top = {r.query_id: (r.neighbor_id, r.cos_milli) for r in approx}
+    for q in [0, 1, 2, 3, 4]:
+        assert top[q] == (q + 100000, 1000), top
+
+
+def test_embedding_near_duplicates(spark, embs):
+    doubled = embs.unionByName(
+        embs.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    out = dedup_pairs = similarity.embedding_near_duplicates(doubled, threshold_milli=990)
+    rows = out.collect()
+    n = embs.count()
+    planted = {(i, i + 100000) for i in range(n)}
+    found = {(r.a, r.b) for r in rows}
+    assert planted <= found
+    # random 64-dim vectors are nowhere near cos >= 0.99
+    assert found == planted
+
+
+def test_textstats_consistency(spark, docs):
+    out = docs.select(
+        "doc_id",
+        textstats.whitespace_token_count(F.col("text")).alias("ws"),
+        textstats.regex_token_count(F.col("text")).alias("re_tok"),
+        textstats.quality_score_milli(F.col("text")).alias("q"),
+        textstats.fingerprint64(F.col("text")).alias("fp"),
+    ).collect()
+    import zlib
+
+    for r in out[:20]:
+        assert r.ws >= 1 and r.re_tok >= r.ws - 1
+        assert 0 <= r.q <= 1000
+        assert r.fp >= 0
+
+
+def test_multimodal_plumbing(spark, docs):
+    payloads = multimodal.with_binary_payload(docs)
+    feats = multimodal.extract_image_features(payloads).collect()
+    assert len(feats) == docs.count()
+    import zlib
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in feats[:20]:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.checksum == zlib.crc32(raw)
+        assert r.width == len(raw) % 640 and r.height == len(raw) % 480
+        assert r.mode == "stub"
+    frames = multimodal.frame_sample_plan(payloads)
+    assert frames.count() > docs.count()  # exploded frame indexes
