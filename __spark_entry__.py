@@ -275,6 +275,139 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "width", "height", "mode")
 
 
+#: (case_id, op, input, expected) for the St/Ts char-only goldens (O10)
+_ST_TS_GOLDENS = [
+    (0, "st", "发", "發"),
+    (1, "st", "A发😀台!", "A發😀臺!"),
+    (2, "ts", "發髮後臺", "发发后台"),
+    (3, "ts", "A發😀臺!", "A发😀台!"),
+    (4, "st", "", ""),
+]
+
+#: (case_id, input, normalized, detofu_b) — O12 pre-pass, O13 post-pass
+_NORM_DETOFU_GOLDENS = [
+    (0, "豈更", "豈更", "豈更"),          # compat ideographs -> canonical
+    (1, "骖𬴂", "骖𬴂", "骖騑"),           # ExtB fallback via DeTofu
+    (2, "plain 文本", "plain 文本", "plain 文本"),
+    (3, "\U0002f800", "丽", "丽"),
+]
+
+#: (case_id, input, preserve_on, preserve_off) — O14 IDS preservation (t2s)
+_IDS_GOLDENS = [
+    (0, "⿰口馬", "⿰口馬", "⿰口马"),
+    (1, "漢字結構：⿰氵漢（漢）", "汉字结构：⿰氵漢（汉）", "汉字结构：⿰氵汉（汉）"),
+    (2, "沒有結構符", "没有结构符", "没有结构符"),
+]
+
+_CUSTOM_DICT_TEXT = "软件\t軟體X\n自定义词\t自訂義詞\n"
+#: (case_id, input, expected) with st_phrases append of the above (O15)
+_CUSTOM_GOLDENS = [
+    (0, "软件", "軟體X"),
+    (1, "自定义词测试", "自訂義詞測試"),
+    (2, "几千只", "幾千隻"),  # base lexicon still applies
+]
+
+
+def _q_st_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openccnet_spark.functions import st_udf, ts_udf
+
+    df = spark.createDataFrame(
+        [(i, op, t) for i, op, t, _e in _ST_TS_GOLDENS],
+        "case_id int, op string, input string",
+    )
+    return df.select(
+        "case_id", "op",
+        F.when(F.col("op") == "st", st_udf()("input"))
+        .otherwise(ts_udf()("input")).alias("output"),
+    )
+
+
+def _q_normalize_detofu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openccnet_spark.functions import detofu_udf, normalize_compat_udf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _n, _d in _NORM_DETOFU_GOLDENS], "case_id int, input string"
+    )
+    return df.select(
+        "case_id",
+        normalize_compat_udf()("input").alias("normalized"),
+        detofu_udf(0)(normalize_compat_udf()("input")).alias("detofu_b"),
+    )
+
+
+def _q_ids_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openccnet_spark.functions import convert_udf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _on, _off in _IDS_GOLDENS], "case_id int, input string"
+    )
+    return df.select(
+        "case_id",
+        convert_udf("t2s", preserve_ids=True)("input").alias("preserve_on"),
+        convert_udf("t2s", preserve_ids=False)("input").alias("preserve_off"),
+    )
+
+
+def _q_custom_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openccnet_spark.functions import convert_udf
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _e in _CUSTOM_GOLDENS], "case_id int, input string"
+    )
+    custom = [("st_phrases", "append", _CUSTOM_DICT_TEXT)]
+    return df.select(
+        "case_id", convert_udf("s2t", custom=custom)("input").alias("output")
+    )
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events stream table (SURVEY §2.2)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp("window_start").alias("window_epoch"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user via windows."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _q_zho_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script detection (O11) at table scale over synthesized transcripts."""
+    from openccnet_spark.functions import zho_check_udf
+
+    df = spark_transcripts(spark, n_conv_for_sf(sf_dir))
+    return (
+        df.withColumn("zho", zho_check_udf()("text"))
+        .groupBy("zho")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_transcripts": _q_pipeline,
@@ -294,6 +427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": _q_similarity_ann,
         "textstats": _q_textstats,
         "multimodal_features": _q_multimodal_features,
+        "st_ts_goldens": _q_st_ts,
+        "normalize_detofu_goldens": _q_normalize_detofu,
+        "ids_preserve_goldens": _q_ids_preserve,
+        "custom_dict_convert": _q_custom_dict,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "zho_check_transcripts": _q_zho_transcripts,
     }
 
 
@@ -447,9 +587,68 @@ SELECT doc_id,
        'stub' AS mode
 FROM documents
 """,
+        "st_ts_goldens": _values_oracle(
+            [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
+            "case_id::INT AS case_id, op, output",
+            "case_id, op, output",
+        ),
+        "normalize_detofu_goldens": _values_oracle(
+            [(i, n, d) for i, _t, n, d in _NORM_DETOFU_GOLDENS],
+            "case_id::INT AS case_id, normalized, detofu_b",
+            "case_id, normalized, detofu_b",
+        ),
+        "ids_preserve_goldens": _values_oracle(
+            [(i, on, off) for i, _t, on, off in _IDS_GOLDENS],
+            "case_id::INT AS case_id, preserve_on, preserve_off",
+            "case_id, preserve_on, preserve_off",
+        ),
+        "custom_dict_convert": _values_oracle(
+            [(i, e) for i, _t, e in _CUSTOM_GOLDENS],
+            "case_id::INT AS case_id, output",
+            "case_id, output",
+        ),
+        "events_window": """
+SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,
+       event_type,
+       count(*) AS n_events,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+        "zho_check_transcripts": _zho_transcripts_oracle("sf0.01"),
         # dedup_simhash / similarity_ann: engine-specific hashing /
         # approximate results — intentionally rows-only (see docstrings).
     }
+
+
+def _values_oracle(rows: list, select: str, names: str) -> str:
+    formatted = ", ".join(
+        "(" + ", ".join(_sq(v) if isinstance(v, str) else str(v) for v in row) + ")"
+        for row in rows
+    )
+    return f"SELECT {select} FROM (VALUES {formatted}) AS v({names})"
+
+
+def _zho_transcripts_oracle(sf_dir_sf: str) -> str:
+    cc = Converter()
+    zhos = [str(cc.zho_check(pool_text(i))) for i in range(len(POOL))]
+    n_conv = n_conv_for_sf(sf_dir_sf)
+    return f"""
+WITH t AS ({transcripts_sql(n_conv)})
+SELECT ([{', '.join(zhos)}])[pool_idx + 1]::INT AS zho,
+       count(*) AS n_turns
+FROM t GROUP BY 1
+"""
 
 
 def _dedup_minhash_oracle() -> str:
