@@ -14,10 +14,19 @@ identical floors in both engines). Pass-through parquet doubles are safe.
 from __future__ import annotations
 
 import math
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Self-arm: make the package importable no matter how the driver loaded this
+# file (direct importlib from an arbitrary cwd included).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from openccnet_spark import Converter
 from openccnet_spark.fixtures import CONVERT_GOLDENS, ZHO_CHECK_GOLDENS
@@ -38,6 +47,32 @@ _TABLES = (
 )
 
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) once per SparkContext, so
+    UDF queries work even when the session's workers don't inherit this
+    repo on their import path (e.g. driver launched from another cwd)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    from tools.package_pyfiles import build
+
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="openccnet_pyfiles_"), "openccnet_spark.zip")
+    sc.addPyFile(str(build(__import__("pathlib").Path(zip_path))))
+    _SHIPPED_SESSIONS.add(key)
+
+
+def _armed(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -50,6 +85,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full keep/drop + scrub pipeline over the synthetic
     transcripts table at sf0.001 scale (~5k turns)."""
+    _ensure_workers(spark)
     df = spark_transcripts(spark, n_conv_for_sf("sf0.001"))
     out = quality_filter(df, config="t2s", salt_partitions=8)
     return out.select(
@@ -410,30 +446,30 @@ def _q_zho_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pipeline_transcripts": _q_pipeline,
-        "quality_documents": _q_quality_documents,
-        "convert_goldens": _q_convert_goldens,
-        "zho_check_goldens": _q_zho_check,
-        "metrics_rollup": _q_metrics_rollup,
-        "filter_project": _q_filter_project,
-        "broadcast_join": _q_broadcast_join,
-        "window_first_order": _q_window_first_order,
-        "antijoin_resume": _q_antijoin_resume,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
-        "similarity_topk": _q_similarity_topk,
-        "similarity_ann": _q_similarity_ann,
-        "textstats": _q_textstats,
-        "multimodal_features": _q_multimodal_features,
-        "st_ts_goldens": _q_st_ts,
-        "normalize_detofu_goldens": _q_normalize_detofu,
-        "ids_preserve_goldens": _q_ids_preserve,
-        "custom_dict_convert": _q_custom_dict,
-        "events_window": _q_events_window,
-        "events_sessionize": _q_events_sessionize,
-        "zho_check_transcripts": _q_zho_transcripts,
+        "pipeline_transcripts": _armed(_q_pipeline),
+        "quality_documents": _armed(_q_quality_documents),
+        "convert_goldens": _armed(_q_convert_goldens),
+        "zho_check_goldens": _armed(_q_zho_check),
+        "metrics_rollup": _armed(_q_metrics_rollup),
+        "filter_project": _armed(_q_filter_project),
+        "broadcast_join": _armed(_q_broadcast_join),
+        "window_first_order": _armed(_q_window_first_order),
+        "antijoin_resume": _armed(_q_antijoin_resume),
+        "dedup_exact": _armed(_q_dedup_exact),
+        "dedup_minhash": _armed(_q_dedup_minhash),
+        "dedup_simhash": _armed(_q_dedup_simhash),
+        "dedup_embedding": _armed(_q_dedup_embedding),
+        "similarity_topk": _armed(_q_similarity_topk),
+        "similarity_ann": _armed(_q_similarity_ann),
+        "textstats": _armed(_q_textstats),
+        "multimodal_features": _armed(_q_multimodal_features),
+        "st_ts_goldens": _armed(_q_st_ts),
+        "normalize_detofu_goldens": _armed(_q_normalize_detofu),
+        "ids_preserve_goldens": _armed(_q_ids_preserve),
+        "custom_dict_convert": _armed(_q_custom_dict),
+        "events_window": _armed(_q_events_window),
+        "events_sessionize": _armed(_q_events_sessionize),
+        "zho_check_transcripts": _armed(_q_zho_transcripts),
     }
 
 
