@@ -7,11 +7,15 @@ is a compact reimplementation of the fastText *idea* — character n-gram
 features against per-language profiles — with profiles built at import time
 from small embedded seed corpora. Fully deterministic.
 
+Implementation is numpy-vectorized: byte trigrams are hashed with a
+polynomial rolling hash over the UTF-8 bytes (vectorized shifts), and all
+language scores come from one fancy-indexed sum over a (n_langs, buckets)
+weight matrix.
+
 Classification:
 1. Han-script ratio >= HAN_RATIO -> ``zh`` (subsumes ZhoCheck's role; the
    Traditional/Simplified split stays with ``zho_check`` itself).
-2. Otherwise score each language by weighted overlap between the text's
-   hashed character-trigram multiset and the language profile; best wins.
+2. Otherwise best weighted trigram-profile score wins.
 3. No letters at all -> ``und``.
 """
 
@@ -19,14 +23,15 @@ from __future__ import annotations
 
 import math
 import re
-import zlib
-from collections import Counter
 from functools import lru_cache
 
+import numpy as np
+
 HAN_RATIO = 0.05
+SAMPLE_CHARS = 240
 
 _HAN_RE = re.compile(
-    "[㐀-䶿一-鿿豈-﫿"
+    "[㐀-䶿一-鿿豈-﫿"
     "\U00020000-\U0002ebef\U00030000-\U000323af]"
 )
 
@@ -78,37 +83,34 @@ _LANGS = tuple(_SEEDS)
 _HASH_BUCKETS = 4096
 
 
-def _trigrams(text: str):
-    t = f"  {text.lower()} ".encode("utf-8")
-    for i in range(len(t) - 2):
-        yield zlib.crc32(t[i : i + 3]) % _HASH_BUCKETS
+def _tri_hashes(text: str) -> np.ndarray:
+    """Vectorized polynomial hash of every UTF-8 byte trigram."""
+    b = np.frombuffer(f"  {text.lower()} ".encode("utf-8"), dtype=np.uint8).astype(
+        np.int64
+    )
+    if b.size < 3:
+        return np.empty(0, dtype=np.int64)
+    return (b[:-2] * 961 + b[1:-1] * 31 + b[2:]) % _HASH_BUCKETS
 
 
 def hash_trigram(g: str) -> int:
-    return zlib.crc32(g.encode("utf-8")) % _HASH_BUCKETS
+    h = _tri_hashes(g)
+    return int(h[1]) if h.size > 2 else int(h[0])
 
 
 @lru_cache(maxsize=1)
-def _profiles():
-    """lang -> {bucket: log-frequency weight} built from the seed corpora."""
-    out = {}
-    for lang, seed in _SEEDS.items():
-        counts = Counter(_trigrams(seed))
-        total = sum(counts.values())
-        out[lang] = {b: math.log1p(c / total * 1000) for b, c in counts.items()}
-    return out
+def _profile_matrix() -> np.ndarray:
+    """(n_langs, buckets) log-frequency weights from the seed corpora."""
+    w = np.zeros((len(_LANGS), _HASH_BUCKETS), dtype=np.float64)
+    for i, lang in enumerate(_LANGS):
+        counts = np.bincount(_tri_hashes(_SEEDS[lang]), minlength=_HASH_BUCKETS)
+        total = counts.sum()
+        nz = counts > 0
+        w[i, nz] = np.log1p(counts[nz] / total * 1000)
+    return w
 
 
-@lru_cache(maxsize=1)
-def _combined_profile():
-    """bucket -> (w_lang0, w_lang1, ...) — one dict probe per trigram."""
-    profiles = _profiles()
-    buckets = set().union(*profiles.values())
-    return {
-        b: tuple(profiles[lang].get(b, 0.0) for lang in _LANGS) for b in buckets
-    }
-
-SAMPLE_CHARS = 240
+_ALPHA_RE = re.compile(r"[^\W\d_]")  # any unicode letter
 
 
 def detect_language(text: str) -> str:
@@ -118,16 +120,8 @@ def detect_language(text: str) -> str:
     n = len(sample)
     if han_count(sample) >= HAN_RATIO * n:
         return "zh"
-    if not any(c.isalpha() for c in sample):
+    if _ALPHA_RE.search(sample) is None:
         return "und"
-    combined = _combined_profile()
-    get = combined.get
-    scores = [0.0] * len(_LANGS)
-    for b in _trigrams(sample):
-        w = get(b)
-        if w is not None:
-            for i, wi in enumerate(w):
-                if wi:
-                    scores[i] += wi
-    best = max(range(len(_LANGS)), key=scores.__getitem__)
+    scores = _profile_matrix()[:, _tri_hashes(sample)].sum(axis=1)
+    best = int(np.argmax(scores))
     return _LANGS[best] if scores[best] > 0 else "und"

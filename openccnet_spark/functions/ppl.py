@@ -82,35 +82,47 @@ def log_prob(a: str, b: str) -> float:
     return math.log(p)
 
 
-# Memo of log P(b|a) keyed by the 2-char string a+b. Values are pure
-# functions of the embedded model, so caching never changes results; the
-# cap only bounds worker memory on adversarial inputs.
-_MEMO: dict = {}
-_MEMO_CAP = 1 << 20
+@lru_cache(maxsize=1)
+def _matrix_model():
+    """Vectorized model: a code-point -> vocab-id LUT plus a dense
+    (V+1, V+1) log-probability matrix (id 0 = out-of-vocabulary). Entries
+    are exactly ``log_prob`` evaluated for every pair, so the vectorized
+    and scalar paths agree to the last bit (same smoothing formula, same
+    float64 ops)."""
+    import numpy as np
+
+    bigrams, unigrams, uni, uni_floor, vocab = _model()
+    chars = sorted(unigrams)
+    ids = np.zeros(0x110000, dtype=np.int32)
+    for i, c in enumerate(chars, start=1):
+        ids[ord(c)] = i
+    v = len(chars) + 1
+    count_b = np.zeros((v, v), dtype=np.float64)
+    for (a, b), n in bigrams.items():
+        count_b[ids[ord(a)], ids[ord(b)]] = n
+    count_u = np.zeros(v, dtype=np.float64)
+    uni_p = np.full(v, uni_floor, dtype=np.float64)
+    for c, n in unigrams.items():
+        count_u[ids[ord(c)]] = n
+        uni_p[ids[ord(c)]] = uni[c]
+    den = count_u + _K * vocab
+    logp = np.log(_LAM * ((count_b + _K) / den[:, None]) + (1.0 - _LAM) * uni_p[None, :])
+    return ids, logp
 
 
 def perplexity(text: str) -> float:
     """Character-bigram perplexity of the first MAX_SCORE_CHARS chars.
 
     Empty/whitespace-only or single-char text scores 0.0 (no evidence —
-    the length rules gate those instead).
+    the length rules gate those instead). Vectorized: code points via one
+    utf-32 reinterpret, probabilities via one fancy-indexed gather.
     """
+    import numpy as np
+
     t = text.strip()[:MAX_SCORE_CHARS] if text else ""
     if len(t) < 2:
         return 0.0
-    memo = _MEMO
-    if len(memo) > _MEMO_CAP:
-        memo.clear()
-    total = 0.0
-    n = 0
-    prev = t[0]
-    for c in t[1:]:
-        k = prev + c
-        lp = memo.get(k)
-        if lp is None:
-            lp = log_prob(prev, c)
-            memo[k] = lp
-        total += lp
-        n += 1
-        prev = c
-    return math.exp(-total / n)
+    ids, logp = _matrix_model()
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    seq = ids[cps]
+    return float(math.exp(-logp[seq[:-1], seq[1:]].mean()))

@@ -1,0 +1,65 @@
+"""Plain-text file sources with legacy-encoding support (SURVEY §2.3).
+
+The reference CLI reads text files in UTF-8/UNICODE/GBK/GB2312/BIG5/
+Shift-JIS (``OpenccNet/ConvertCommand.cs:55-65,303-348``). Spark's native
+``spark.read.text`` is UTF-8 only, so non-UTF-8 corpora come in through the
+``binaryFile`` source with decoding in an Arrow pass:
+
+* one file per row (``binaryFile``), decode + split to lines in
+  ``mapInPandas`` — no driver-side reads, files parallelize across tasks;
+* ``spark.sql.files.maxPartitionBytes`` sizes the tasks; huge single files
+  should be split upstream (the source preserves a ``path`` + ``line_no``
+  lineage so downstream joins stay possible).
+
+Python's codec machinery covers the reference's encoding list (gbk, gb2312,
+big5, shift_jis, utf-16 == the reference's "UNICODE").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+ENCODINGS = ("utf-8", "utf-16", "gbk", "gb2312", "big5", "shift_jis")
+
+LINES_SCHEMA = "path string, line_no long, text string"
+
+
+def read_text_files(
+    spark: SparkSession,
+    path_glob: str,
+    encoding: str = "utf-8",
+    errors: str = "strict",
+) -> DataFrame:
+    """Read text files of any supported encoding into (path, line_no, text).
+
+    UTF-8 fast path uses the native text source (JVM-side, splittable);
+    everything else decodes in one vectorized pass over binaryFile rows.
+    """
+    enc = encoding.lower().replace("-", "_")
+    if enc in ("utf_8", "utf8"):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.read.text(path_glob).select(
+            F.input_file_name().alias("path"), F.col("value").alias("text")
+        )
+        w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
+        return df.withColumn("line_no", F.row_number().over(w) - 1).select(
+            "path", "line_no", "text"
+        )
+
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def _decode(batches):
+        for pdf in batches:
+            paths, line_nos, texts = [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                decoded = bytes(content).decode(encoding, errors=errors)
+                for i, line in enumerate(decoded.splitlines()):
+                    paths.append(p)
+                    line_nos.append(i)
+                    texts.append(line)
+            yield pd.DataFrame({"path": paths, "line_no": line_nos, "text": texts})
+
+    return binary.select("path", "content").mapInPandas(_decode, LINES_SCHEMA)
