@@ -432,6 +432,47 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (order/limit with total tiebreak)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"))
+        .orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: AUTOMOBILE customers EXCEPT those with an open order,
+    INTERSECTed with customers holding a positive balance."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return auto.exceptAll(open_cust).distinct().intersect(positive)
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping id."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "sum_qty",
+        )
+    )
+
+
 def _q_zho_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script detection (O11) at table scale over synthesized transcripts."""
     from openccnet_spark.functions import zho_check_udf
@@ -470,6 +511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _armed(_q_events_window),
         "events_sessionize": _armed(_q_events_sessionize),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
+        "topk_customers": _armed(_q_topk_customers),
+        "set_ops": _armed(_q_set_ops),
+        "grouping_sets": _armed(_q_grouping_sets),
     }
 
 
@@ -662,6 +706,30 @@ SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """,
         "zho_check_transcripts": _zho_transcripts_oracle("sf0.01"),
+        "topk_customers": """
+SELECT o_custkey, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS spend_cents
+FROM orders GROUP BY o_custkey
+ORDER BY spend_cents DESC, o_custkey ASC LIMIT 10
+""",
+        # NB: INTERSECT binds tighter than EXCEPT in SQL — parenthesize so
+        # the oracle evaluates (A EXCEPT B) INTERSECT C like the Spark side.
+        "set_ops": """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+""",
+        "grouping_sets": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
         # dedup_simhash / similarity_ann: engine-specific hashing /
         # approximate results — intentionally rows-only (see docstrings).
     }
