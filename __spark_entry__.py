@@ -254,6 +254,14 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_mutant_docs(spark, sf_dir))
 
 
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups (brute force) — must equal the
+    MinHash+LSH output on this corpus, and shares its oracle."""
+    from openccnet_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_mutant_docs(spark, sf_dir))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (xxhash64-based => engine-specific; rows-only check)."""
     from openccnet_spark.operators.dedup import simhash_near_duplicates
@@ -498,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "antijoin_resume": _armed(_q_antijoin_resume),
         "dedup_exact": _armed(_q_dedup_exact),
         "dedup_minhash": _armed(_q_dedup_minhash),
+        "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
         "dedup_simhash": _armed(_q_dedup_simhash),
         "dedup_embedding": _armed(_q_dedup_embedding),
         "similarity_topk": _armed(_q_similarity_topk),
@@ -656,6 +665,7 @@ SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
 FROM d GROUP BY text
 """,
         "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
         "textstats": _textstats_oracle(),

@@ -126,6 +126,7 @@ def main() -> int:
         for name in (
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
+            "dedup_exact", "dedup_minhash", "similarity_topk", "textstats",
         ):
             queries[name] = round(_run_to_noop(q[name](spark, SF_DIR)), 3)
         spark.stop()

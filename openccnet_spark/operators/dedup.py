@@ -169,6 +169,36 @@ def minhash_near_duplicates(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs WITHOUT LSH (brute-force join).
+
+    The verification baseline for ``minhash_near_duplicates`` and the right
+    tool when the corpus-partition is small enough (e.g. per-bucket after a
+    coarser partitioner). O(n^2) in rows per partition — at 100 TB use the
+    MinHash path and reserve this for candidate verification.
+    """
+    shingled = df.select(
+        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = shingled.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "a", "b", F.floor(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli")
+        )
+    )
+
+
 def simhash_col(text_col, bits: int = 64):
     """64-bit SimHash over word features, as JVM-side expression.
 

@@ -71,23 +71,15 @@ FULL_DELIMITERS = (
 
 
 def parse_dict_lines(lines) -> dict[str, str]:
-    """Parse one lexicon file per the reference contract."""
-    out: dict[str, str] = {}
-    for raw in lines:
-        line = raw.strip()
-        if not line or line.startswith("#"):
-            continue
-        tab = line.find("\t")
-        if tab < 0:
-            continue
-        key = line[:tab]
-        rest = line[tab + 1 :]
-        sp = rest.find(" ")
-        value = rest if sp < 0 else rest[:sp]
-        if not key or not value:
-            continue
-        out[key] = value  # duplicate key: last wins
-    return out
+    """Parse one lexicon file per the reference contract (single source of
+    truth: openccnet_spark.dictionary.parse_dict_text)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from openccnet_spark.dictionary import parse_dict_text
+
+    return parse_dict_text("\n".join(lines) if isinstance(lines, list) else "".join(lines))
 
 
 def parse_compat_ideographs(lines) -> dict[str, str]:
