@@ -1,0 +1,63 @@
+"""Office/EPUB container conversion round-trip (reference
+OfficeDocConverterTests: converts a bundled docx fixture — here the fixture
+is synthesized)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from openccnet_spark.sources.office import convert_office_bytes, convert_office_files
+
+_DOC_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    "<w:body><w:p><w:r><w:t>简体中文的软件文档</w:t></w:r></w:p></w:body></w:document>"
+)
+
+
+def _make_docx() -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", _DOC_XML)
+        z.writestr("word/media/img.bin", b"\x00\x01binary stays untouched")
+    return buf.getvalue()
+
+
+def _make_epub() -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        info = zipfile.ZipInfo("mimetype")
+        info.compress_type = zipfile.ZIP_STORED
+        z.writestr(info, "application/epub+zip")
+        z.writestr("OEBPS/ch1.xhtml", "<html><body>简体章节内容</body></html>")
+    return buf.getvalue()
+
+
+def test_docx_roundtrip():
+    out = convert_office_bytes(_make_docx(), "docx", "s2t")
+    z = zipfile.ZipFile(io.BytesIO(out))
+    doc = z.read("word/document.xml").decode("utf-8")
+    assert "簡體中文的軟件文檔" in doc
+    assert "<w:document" in doc  # markup intact
+    assert z.read("word/media/img.bin") == b"\x00\x01binary stays untouched"
+
+
+def test_epub_mimetype_first_and_stored():
+    out = convert_office_bytes(_make_epub(), "epub", "s2t")
+    z = zipfile.ZipFile(io.BytesIO(out))
+    infos = z.infolist()
+    assert infos[0].filename == "mimetype"
+    assert infos[0].compress_type == zipfile.ZIP_STORED
+    assert "簡體章節內容" in z.read("OEBPS/ch1.xhtml").decode("utf-8")
+
+
+def test_spark_office_conversion(spark, tmp_path):
+    (tmp_path / "a.docx").write_bytes(_make_docx())
+    (tmp_path / "b.docx").write_bytes(_make_docx())
+    out = convert_office_files(spark, str(tmp_path / "*.docx"), "docx", "s2t").collect()
+    assert len(out) == 2
+    for r in out:
+        z = zipfile.ZipFile(io.BytesIO(bytes(r.content)))
+        assert "簡體中文的軟件文檔" in z.read("word/document.xml").decode("utf-8")
