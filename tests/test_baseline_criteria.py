@@ -56,6 +56,21 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "l_comment" not in read_schema and "l_returnflag" not in read_schema
 
 
+def test_salted_repartition_defeats_conversation_skew(spark):
+    """north_rule: "conversations are salted-repartitioned on hash(conv_id)
+    to defeat long-conversation skew". Feed the pipeline an input clustered
+    by conversation (1 input partition per conversation, incl. 50-200-turn
+    monsters) and assert the salted exchange rebalances the UDF stage."""
+    src = spark_transcripts(spark, 40).repartition(40, "conv_id")
+    out = quality_filter(src, salt_partitions=16, with_ppl=False)
+    sizes = [
+        r["count"]
+        for r in out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    ]
+    assert len(sizes) == 16
+    assert max(sizes) <= 2.0 * (sum(sizes) / len(sizes))  # no monster partitions
+
+
 def test_pipeline_stays_vectorized(spark):
     df = quality_filter(spark_transcripts(spark, 5), salt_partitions=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
