@@ -213,11 +213,14 @@ def _q_window_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_antijoin_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The checkpoint-resume anti-join pattern: customers with no orders."""
+    """The checkpoint-resume anti-join pattern: customers with no order
+    since 1997 ("pending buckets" = keys absent from the done-set)."""
     cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    recent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01")
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")
 
 
@@ -654,7 +657,8 @@ SELECT o_custkey, first_orderkey FROM (
 """,
         "antijoin_resume": """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1997-01-01')
 """,
         "dedup_exact": """
 WITH d AS (

@@ -121,3 +121,19 @@ def test_punctuation_round_trip():
     t = CC.convert(s, "s2t", punct=True)
     assert t == "你好「世界」！"
     assert CC.convert(t, "t2s", punct=True) == s
+
+
+def test_zho_check_utf16_sampling_boundary():
+    # reference samples the first 500 UTF-16 units, clamped to a full code
+    # point (Opencc.cs:2186-2190): an astral char straddling the boundary
+    # must be excluded, not split.
+    filler = "a" * 499
+    # 499 units + astral (2 units) would exceed 500: astral clamped away,
+    # and the remaining sample strips to nothing -> 0
+    assert CC.zho_check(filler + "\U0002b74f" + "汉" * 50) == 0
+    # 498 units + astral fits exactly: the astral char survives but is not
+    # a convertible char either way; trailing Simplified chars are beyond
+    # the sample window -> still 0
+    assert CC.zho_check("a" * 498 + "\U0002b74f" + "汉" * 50) == 0
+    # Simplified content inside the window is detected
+    assert CC.zho_check("a" * 490 + "汉字" + "a" * 100) == 2

@@ -146,9 +146,30 @@ def main() -> int:
         "--out",
         default=str(Path(__file__).resolve().parent.parent / "openccnet_spark" / "data" / "dictionary_bundle.json.gz"),
     )
+    ap.add_argument(
+        "-D", "--custom", action="append", default=[],
+        help="custom dict spec slot:append|override:path (repeatable; "
+        "reference DictgenCommand -D flag)",
+    )
     args = ap.parse_args()
 
     bundle = build_bundle(Path(args.src))
+    if args.custom:
+        import sys as _sys
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from openccnet_spark.dictionary import parse_custom_spec, parse_dict_text
+
+        for spec in args.custom:
+            slot, mode, path = parse_custom_spec(spec)
+            with open(path, encoding="utf-8") as f:
+                table = parse_dict_text(f.read())
+            if mode == "override":
+                bundle["slots"][slot] = table
+            else:
+                bundle["slots"][slot].update(table)  # late-comer wins
+        bundle["meta"]["custom_specs"] = list(args.custom)
+        bundle["meta"]["slot_sizes"] = {s: len(t) for s, t in bundle["slots"].items()}
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = json.dumps(bundle, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
