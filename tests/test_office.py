@@ -61,3 +61,32 @@ def test_spark_office_conversion(spark, tmp_path):
     for r in out:
         z = zipfile.ZipFile(io.BytesIO(bytes(r.content)))
         assert "簡體中文的軟件文檔" in z.read("word/document.xml").decode("utf-8")
+
+
+def test_target_part_selection_per_format():
+    from openccnet_spark.sources.office import _is_target_part
+
+    assert _is_target_part("docx", "word/document.xml")
+    assert not _is_target_part("docx", "word/styles.xml")
+    assert _is_target_part("xlsx", "xl/sharedStrings.xml")
+    assert not _is_target_part("xlsx", "xl/workbook.xml")
+    assert _is_target_part("pptx", "ppt/slides/slide1.xml")
+    assert _is_target_part("pptx", "ppt/notesSlides/notesSlide1.xml")
+    assert not _is_target_part("pptx", "ppt/theme/theme1.xml")
+    for odf in ("odt", "ods", "odp"):
+        assert _is_target_part(odf, "content.xml")
+        assert not _is_target_part(odf, "styles.xml")
+    assert _is_target_part("epub", "OEBPS/content.opf")
+    assert not _is_target_part("epub", "OEBPS/cover.jpg")
+
+
+def test_xlsx_shared_strings():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/sharedStrings.xml", "<sst><si><t>简体表格内容</t></si></sst>")
+        z.writestr("xl/workbook.xml", "<workbook>简体不该被转换</workbook>")
+    out = convert_office_bytes(buf.getvalue(), "xlsx", "s2t")
+    z = zipfile.ZipFile(io.BytesIO(out))
+    assert "簡體表格內容" in z.read("xl/sharedStrings.xml").decode("utf-8")
+    # non-target parts untouched
+    assert "简体不该被转换" in z.read("xl/workbook.xml").decode("utf-8")
