@@ -147,7 +147,7 @@ def pipeline_struct_udf(
     def _run(s: pd.Series) -> pd.DataFrame:
         cc = _worker_converter(key)
         rows = []
-        for t in s:
+        for t in s.tolist():  # plain-list iteration beats Series.__iter__
             if t is None:
                 rows.append((None,) * len(cols))
                 continue
@@ -247,6 +247,46 @@ def detofu_udf(level: int = 0):
         return s.map(lambda t: cc.detofu(t, level) if t is not None else None)
 
     return _detofu
+
+
+def register_sql_functions(spark, prefix: str = "cc_") -> list:
+    """Register the engine's text operators for ``spark.sql`` use:
+
+    >>> register_sql_functions(spark)
+    >>> spark.sql("SELECT cc_convert(text, 's2t') FROM docs")
+
+    Registered (all Arrow-vectorized): ``cc_convert(text, config)``,
+    ``cc_convert_punct(text, config)``, ``cc_st(text)``, ``cc_ts(text)``,
+    ``cc_zho_check(text)``, ``cc_langid(text)``, ``cc_ppl(text)``.
+    Returns the registered names.
+    """
+
+    @F.pandas_udf(StringType())
+    def _convert2(text: pd.Series, config: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return pd.Series(
+            [None if t is None else cc.convert(t, c) for t, c in zip(text, config)]
+        )
+
+    @F.pandas_udf(StringType())
+    def _convert2p(text: pd.Series, config: pd.Series) -> pd.Series:
+        cc = _worker_converter()
+        return pd.Series(
+            [None if t is None else cc.convert(t, c, punct=True) for t, c in zip(text, config)]
+        )
+
+    pairs = [
+        (f"{prefix}convert", _convert2),
+        (f"{prefix}convert_punct", _convert2p),
+        (f"{prefix}st", st_udf()),
+        (f"{prefix}ts", ts_udf()),
+        (f"{prefix}zho_check", zho_check_udf()),
+        (f"{prefix}langid", langid_udf()),
+        (f"{prefix}ppl", ppl_udf()),
+    ]
+    for name, fn in pairs:
+        spark.udf.register(name, fn)
+    return [n for n, _ in pairs]
 
 
 def langid_udf():
