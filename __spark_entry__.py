@@ -443,6 +443,55 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filtered agg + deterministic top-10."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join -> per-nation revenue."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(supp.s_nationkey == cust.c_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic top-k (order/limit with total tiebreak)."""
     orders = _read(spark, sf_dir, "orders")
@@ -524,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _armed(_q_events_sessionize),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
         "topk_customers": _armed(_q_topk_customers),
+        "shipping_priority": _armed(_q_shipping_priority),
+        "nation_volume": _armed(_q_nation_volume),
         "set_ops": _armed(_q_set_ops),
         "grouping_sets": _armed(_q_grouping_sets),
     }
@@ -720,6 +771,32 @@ SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """,
         "zho_check_transcripts": _zho_transcripts_oracle("sf0.01"),
+        "shipping_priority": """
+SELECT l_orderkey,
+       epoch(o_orderdate)::BIGINT AS orderdate_epoch,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+""",
+        "nation_volume": """
+SELECT r_name, n_name,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+GROUP BY r_name, n_name
+""",
         "topk_customers": """
 SELECT o_custkey, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS spend_cents
 FROM orders GROUP BY o_custkey
