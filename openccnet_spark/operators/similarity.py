@@ -46,6 +46,33 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, neighbor_id, cos_milli).
+
+    Phase 1 keeps each scan partition's local top-k (window keyed on
+    (query_id, partition_id) — Q x P distinct keys, so the one full shuffle
+    of scores is spread evenly instead of funneling the whole corpus into Q
+    reducer tasks). Phase 2 re-ranks the surviving k x P rows per query.
+    Vectors are projected away BEFORE any shuffle: only 3 scalar columns
+    move. The same total order (cos desc, neighbor_id asc) at both phases
+    makes the result identical to a single global window.
+    """
+    order = (F.desc("cos_milli"), F.asc("neighbor_id"))
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    w_final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.select("query_id", "neighbor_id", "cos_milli")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_milli", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids,
@@ -62,18 +89,15 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # Broadcast the QUERY SET (a handful of rows), never the corpus: at
+    # 100 TB the corpus cannot be replicated, while the small query side
+    # streams past every corpus partition in place (BroadcastNestedLoopJoin
+    # with the tiny side replicated — no shuffle of the corpus at all).
     scored = (
-        queries.join(F.broadcast(corpus), F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(queries).join(corpus, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_milli"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_milli", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk(scored, k)
 
 
 def _hyperplanes(dim: int, seed: int = 0xC0FFEE) -> np.ndarray:
@@ -133,12 +157,7 @@ def lsh_ann_topk(
     scored = cand.withColumn(
         "cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_milli"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_milli", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_duplicates(
