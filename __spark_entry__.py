@@ -331,12 +331,20 @@ _ST_TS_GOLDENS = [
     (4, "st", "", ""),
 ]
 
-#: (case_id, input, normalized, detofu_b) — O12 pre-pass, O13 post-pass
+#: custom DeTofu layer for the goldens: a file-format entry (overrides the
+#: builtin 𣭲->氄) plus a direct pair (overrides the builtin 𬴂->騑) —
+#: reference DeTofuWithCustomFile/Pairs semantics (Opencc.cs:2373-2451)
+_DETOFU_CUSTOM_TEXT = "𣭲\t氂\tB\n"
+_DETOFU_CUSTOM_PAIRS = {"𬴂": "訂"}
+
+#: (case_id, input, normalized, detofu_b, detofu_custom)
+#: — O12 pre-pass, O13 post-pass, O13 custom-override post-pass
 _NORM_DETOFU_GOLDENS = [
-    (0, "豈更", "豈更", "豈更"),          # compat ideographs -> canonical
-    (1, "骖𬴂", "骖𬴂", "骖騑"),           # ExtB fallback via DeTofu
-    (2, "plain 文本", "plain 文本", "plain 文本"),
-    (3, "\U0002f800", "丽", "丽"),
+    (0, "豈更", "豈更", "豈更", "豈更"),   # compat ideographs -> canonical
+    (1, "骖𬴂", "骖𬴂", "骖騑", "骖訂"),    # ExtB fallback; custom pair wins
+    (2, "plain 文本", "plain 文本", "plain 文本", "plain 文本"),
+    (3, "\U0002f800", "丽", "丽", "丽"),
+    (4, "𣭲毛", "𣭲毛", "氄毛", "氂毛"),    # custom file entry overrides builtin
 ]
 
 #: (case_id, input, preserve_on, preserve_off) — O14 IDS preservation (t2s)
@@ -373,12 +381,16 @@ def _q_normalize_detofu(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.functions import detofu_udf, normalize_compat_udf
 
     df = spark.createDataFrame(
-        [(i, t) for i, t, _n, _d in _NORM_DETOFU_GOLDENS], "case_id int, input string"
+        [(i, t) for i, t, _n, _d, _c in _NORM_DETOFU_GOLDENS],
+        "case_id int, input string",
     )
     return df.select(
         "case_id",
         normalize_compat_udf()("input").alias("normalized"),
         detofu_udf(0)(normalize_compat_udf()("input")).alias("detofu_b"),
+        detofu_udf(
+            0, custom_text=_DETOFU_CUSTOM_TEXT, custom_pairs=_DETOFU_CUSTOM_PAIRS
+        )(normalize_compat_udf()("input")).alias("detofu_custom"),
     )
 
 
@@ -738,9 +750,9 @@ FROM documents
             "case_id, op, output",
         ),
         "normalize_detofu_goldens": _values_oracle(
-            [(i, n, d) for i, _t, n, d in _NORM_DETOFU_GOLDENS],
-            "case_id::INT AS case_id, normalized, detofu_b",
-            "case_id, normalized, detofu_b",
+            [(i, n, d, c) for i, _t, n, d, c in _NORM_DETOFU_GOLDENS],
+            "case_id::INT AS case_id, normalized, detofu_b, detofu_custom",
+            "case_id, normalized, detofu_b, detofu_custom",
         ),
         "ids_preserve_goldens": _values_oracle(
             [(i, on, off) for i, _t, on, off in _IDS_GOLDENS],

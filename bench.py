@@ -6,9 +6,16 @@ The headline is the end-to-end quality-filter pipeline (read parquet ->
 convert + langid + ppl + heuristics + scrub -> noop sink), reported as
 turns/sec. The north_rule's two-cluster-size criterion ("N and 4N
 executors") is evidenced with REAL separate executor JVMs:
-spark local-cluster[1,8] vs local-cluster[4,8] on the same input, plus a
-local[8]->local[32] thread-mode pair and a pure-multiprocessing hardware
-control (this 32-core host cannot exceed ~0.8 itself).
+spark local-cluster[1,4] vs local-cluster[4,4] on the same input. The
+high side uses 16 of the host's 32 cores so each task's JVM feeder
+thread + Python worker pair has physical headroom (a saturated 4x8 pair
+measures host contention, not Spark scaling). The two configs are
+interleaved A/B/A/B and the best (minimum) time per config is kept:
+shared-host tenant noise only ever SLOWS a run, so min time is the
+consistent estimator of true capability on both sides. A
+pure-multiprocessing hardware control at the same 4->16 core counts
+bounds what any framework could achieve on this box (turbo/memory
+clocking); the efficiency relative to that ceiling is also reported.
 """
 
 from __future__ import annotations
@@ -39,8 +46,8 @@ def _hw_work(_):
     return s
 
 
-def _hw_control_efficiency() -> float:
-    """Hardware ceiling control: throughput efficiency LOW->HIGH cores of a
+def _hw_control_efficiency(low: int, high: int) -> float:
+    """Hardware ceiling control: throughput efficiency low->high cores of a
     pure-Python integer loop under multiprocessing (no Spark, no shared
     state). Sub-1.0 values here are turbo/memory clocking, not framework
     overhead — the Spark job cannot scale better than this."""
@@ -48,14 +55,14 @@ def _hw_control_efficiency() -> float:
 
     _work = _hw_work  # module-level: multiprocessing must pickle it
     times = {}
-    for n in (LOW_CPUS, CPUS):
+    for n in (low, high):
         with mp.Pool(n) as p:
             t0 = time.perf_counter()
             p.map(_work, range(n))
             times[n] = time.perf_counter() - t0
     # n tasks on n procs: ideal wall time is constant, so efficiency is the
     # wall-time ratio (each proc does identical fixed work)
-    return times[LOW_CPUS] / times[CPUS]
+    return times[low] / times[high]
 
 
 def _session(master: str, shuffle_partitions: int, executor_mem: str | None = None):
@@ -131,44 +138,57 @@ def main() -> int:
 
         # ---- N and 4N EXECUTORS (the north_rule criterion, literally):
         # local-cluster spawns real separate executor JVMs on this host.
-        # Falls back to thread-mode pairs if local-cluster cannot launch in
-        # this environment (the JSON line must survive either way).
-        n_exec_low, n_exec_high, cores_per_exec = 1, 4, LOW_CPUS
+        # cores_per_exec=4 keeps the 4-executor side at 16 of 32 physical
+        # cores, leaving headroom for each task's JVM feeder thread +
+        # Python worker (a fully saturated pair measures host contention,
+        # not Spark scaling). The pair is interleaved A/B/A/B and min time
+        # per side is kept — tenant noise only ever slows a run.
+        # Falls back to a matched thread-mode pair if local-cluster cannot
+        # launch here (the JSON line must survive either way).
+        n_exec_low, n_exec_high, cores_per_exec = 1, 4, 4
         scale_low = scale_high_exec = None
+        scaling_mode = "executors"
         try:
-            spark = _session(
-                f"local-cluster[{n_exec_low},{cores_per_exec},6144]",
-                cores_per_exec * 4, executor_mem="6g",
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            _bench_pipeline(spark, transcripts_path, None)  # warmup
-            scale_low = _bench_pipeline(spark, scale_path, None)
+            exec_times: dict[int, list[float]] = {n_exec_low: [], n_exec_high: []}
+            for _rep in range(2):
+                for n_exec in (n_exec_low, n_exec_high):
+                    spark = _session(
+                        f"local-cluster[{n_exec},{cores_per_exec},6144]",
+                        n_exec * cores_per_exec * 2, executor_mem="5g",
+                    )
+                    spark.sparkContext.setLogLevel("ERROR")
+                    _bench_pipeline(spark, transcripts_path, None)  # warmup
+                    exec_times[n_exec].append(_bench_pipeline(spark, scale_path, None))
+                    spark.stop()
+            scale_low = min(exec_times[n_exec_low])
+            scale_high_exec = min(exec_times[n_exec_high])
             queries[f"pipeline_scale_{n_exec_low}x{cores_per_exec}exec"] = round(scale_low, 3)
-            spark.stop()
-
-            spark = _session(
-                f"local-cluster[{n_exec_high},{cores_per_exec},6144]",
-                CPUS * 4, executor_mem="6g",
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            _bench_pipeline(spark, transcripts_path, None)  # warmup
-            scale_high_exec = _bench_pipeline(spark, scale_path, None)
             queries[f"pipeline_scale_{n_exec_high}x{cores_per_exec}exec"] = round(scale_high_exec, 3)
-            spark.stop()
         except Exception as exc:  # pragma: no cover - env-specific
             print(f"local-cluster unavailable ({exc}); thread-mode fallback", file=sys.stderr)
+            scale_low = scale_high_exec = None
             try:
                 spark.stop()
             except Exception:
                 pass
 
         if scale_low is None:
-            spark = _session(f"local[{LOW_CPUS}]", LOW_CPUS)
-            spark.sparkContext.setLogLevel("ERROR")
-            _bench_pipeline(spark, transcripts_path, None)  # warmup
-            scale_low = _bench_pipeline(spark, scale_path, None)
-            queries[f"pipeline_scale_test_local{LOW_CPUS}"] = round(scale_low, 3)
-            spark.stop()
+            # matched thread-mode pair: SAME job, SAME input, local[N] vs
+            # local[4N] — never a cross-mode ratio
+            scaling_mode = "threads"
+            n_exec_low, n_exec_high, cores_per_exec = 1, 4, LOW_CPUS
+            thread_times: dict[int, list[float]] = {LOW_CPUS: [], CPUS: []}
+            for _rep in range(2):
+                for n in (LOW_CPUS, CPUS):
+                    spark = _session(f"local[{n}]", n)
+                    spark.sparkContext.setLogLevel("ERROR")
+                    _bench_pipeline(spark, transcripts_path, None)  # warmup
+                    thread_times[n].append(_bench_pipeline(spark, scale_path, None))
+                    spark.stop()
+            scale_low = min(thread_times[LOW_CPUS])
+            scale_high_exec = min(thread_times[CPUS])
+            queries[f"pipeline_scale_local{LOW_CPUS}"] = round(scale_low, 3)
+            queries[f"pipeline_scale_local{CPUS}"] = round(scale_high_exec, 3)
 
         # ---- full-parallelism thread-mode session ------------------------
         spark = _session(f"local[{CPUS}]", CPUS)
@@ -199,15 +219,14 @@ def main() -> int:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    hw_eff = _hw_control_efficiency()
+    cores_low = n_exec_low * cores_per_exec
+    cores_high = n_exec_high * cores_per_exec
+    hw_eff = _hw_control_efficiency(cores_low, cores_high)
     thr_low = n_turns_big / scale_low
-    eff_threads = (n_turns_big / scale_high) / thr_low / (CPUS / (n_exec_low * cores_per_exec))
-    if scale_high_exec is not None:
-        thr_high = n_turns_big / scale_high_exec
-        efficiency = (thr_high / thr_low) / (n_exec_high / n_exec_low)
-    else:
-        thr_high = n_turns_big / scale_high
-        efficiency = eff_threads
+    thr_high = n_turns_big / scale_high_exec
+    # one pure N->4N pair of the SAME job on the SAME input (best-of-2 per
+    # side, interleaved); this IS the headline scaling number
+    efficiency = (thr_high / thr_low) / (cores_high / cores_low)
     print(
         json.dumps(
             {
@@ -219,22 +238,21 @@ def main() -> int:
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / pipeline_high, 1),
                 "scale_test_turns": n_turns_big,
+                "scaling_mode": scaling_mode,
                 "executors_low": n_exec_low,
                 "executors_high": n_exec_high,
                 "cores_per_executor": cores_per_exec,
-                "scale_turns_per_sec_4n_executors": round(thr_high, 1),
-                "scale_turns_per_sec_n_executors": round(thr_low, 1),
-                # two independent N->4N measurements of the same job (real
-                # executors vs task threads); host noise only ever DEGRADES
-                # a run, so the max is the better estimator of the true
-                # scaling capability — both raw values reported
-                "scaling_efficiency": round(max(efficiency, eff_threads), 3),
-                "scaling_efficiency_executors": round(efficiency, 3),
-                "scaling_efficiency_threads_8_32": round(eff_threads, 3),
+                "scale_turns_per_sec_4n": round(thr_high, 1),
+                "scale_turns_per_sec_n": round(thr_low, 1),
+                "scaling_efficiency": round(efficiency, 3),
+                "scaling_efficiency_executors": round(efficiency, 3)
+                if scaling_mode == "executors"
+                else None,
+                # what this host itself scales at between the same two core
+                # counts (pure multiprocessing, no Spark): the physical
+                # ceiling any framework could reach here
                 "hw_control_efficiency": round(hw_eff, 3),
-                "scaling_efficiency_vs_hw_ceiling": round(
-                    max(efficiency, eff_threads) / hw_eff, 3
-                ),
+                "scaling_efficiency_vs_hw_ceiling": round(efficiency / hw_eff, 3),
             }
         )
     )

@@ -189,10 +189,17 @@ class Converter:
     >>> cc = Converter()            # default bundled dictionaries
     >>> cc.convert("软件", "s2twp")
     '軟體'
+
+    An unknown config falls back to ``s2t`` and records the error on
+    ``last_error`` (reference ``SetConfigInternal``, Opencc.cs:650-695;
+    test ``OpenccNetTests.cs:186-194``); a valid config clears it. With
+    ``strict=True`` an unknown config raises instead.
     """
 
-    def __init__(self, bundle: DictionaryBundle | None = None):
+    def __init__(self, bundle: DictionaryBundle | None = None, strict: bool = False):
         self.bundle = bundle or load_bundle()
+        self.strict = strict
+        self.last_error: str | None = None
 
     def convert(
         self,
@@ -202,12 +209,25 @@ class Converter:
         preserve_ids: bool = False,
     ) -> str:
         """O1/O2/O3: resolve plan, apply rounds sequentially."""
+        if config not in CONFIGS:
+            if self.strict:
+                raise ValueError(f"invalid conversion config: {config!r}")
+            self.last_error = (
+                f'Invalid config provided: "{config}". Using default \'s2t\'.'
+            )
+            config = "s2t"
+        else:
+            self.last_error = None
         if not text:
             return ""
         plan = get_plan(self.bundle, config, punct)
         for rnd in plan.rounds:
             text = run_round(text, rnd, preserve_ids)
         return text
+
+    def get_last_error(self) -> str | None:
+        """Reference ``Opencc.GetLastError()``."""
+        return self.last_error
 
     # --- O10: char-only conversion (Opencc.cs:2159-2176) ---
 
@@ -261,6 +281,20 @@ class Converter:
         if not text:
             return ""
         return text.translate(self.bundle.detofu_table(level))
+
+    def detofu_with_custom_file(self, text: str, level: int, path) -> str:
+        """Built-in mappings + a custom fallback file; custom wins on clash
+        (reference ``Opencc.DeTofuWithCustomFile``, Opencc.cs:2373-2406)."""
+        from .detofu import DeTofuMap
+
+        return DeTofuMap.builtin(self.bundle, level).with_custom_file(path).convert(text)
+
+    def detofu_with_custom_pairs(self, text: str, level: int, pairs) -> str:
+        """Built-in mappings + in-memory pairs; pairs always apply
+        (reference ``Opencc.DeTofuWithCustomPairs``, Opencc.cs:2408-2451)."""
+        from .detofu import DeTofuMap
+
+        return DeTofuMap.builtin(self.bundle, level).with_custom_pairs(pairs).convert(text)
 
 
 def _clamp_utf16(text: str, max_units: int) -> str:

@@ -238,13 +238,30 @@ def normalize_compat_udf():
     return _norm
 
 
-def detofu_udf(level: int = 0):
-    """O13 DeTofu display fallback as its own column op."""
+def detofu_udf(level: int = 0, custom_text: str | None = None, custom_pairs: dict | None = None):
+    """O13 DeTofu display fallback as its own column op.
+
+    ``custom_text`` (file-format entries, extension-gated) and/or
+    ``custom_pairs`` (always applied) layer on top of the built-ins with
+    later-wins precedence (reference DeTofuMap, DeTofu.cs:477-610). The
+    custom data travels in the UDF closure — executors never read files.
+    """
 
     @F.pandas_udf(StringType())
     def _detofu(s: pd.Series) -> pd.Series:
         cc = _worker_converter()
-        return s.map(lambda t: cc.detofu(t, level) if t is not None else None)
+        if custom_text is None and custom_pairs is None:
+            fn = lambda t: cc.detofu(t, level)  # noqa: E731
+        else:
+            from ..detofu import DeTofuMap
+
+            m = DeTofuMap.builtin(cc.bundle, level)
+            if custom_text:
+                m.with_custom_text(custom_text)
+            if custom_pairs:
+                m.with_custom_pairs(custom_pairs)
+            fn = m.convert
+        return s.map(lambda t: fn(t) if t is not None else None)
 
     return _detofu
 

@@ -98,6 +98,67 @@ def test_detofu():
     assert CC.detofu("𬴂", level=7) == "𬴂"
 
 
+def test_detofu_with_custom_file(tmp_path):
+    # reference TestDeTofuWithCustomFileOverridesBuiltin
+    # (OpenccNetTests.cs:399-423): custom file entry overrides builtin
+    p = tmp_path / "tofu.txt"
+    p.write_text("𣭲\t氂\tB\n", encoding="utf-8")
+    assert CC.detofu_with_custom_file("𣭲毛", 0, p) == "氂毛"
+    # builtin alone maps 𣭲 differently
+    assert CC.detofu("𣭲毛") == "氄毛"
+
+
+def test_detofu_custom_file_extension_gating(tmp_path):
+    # a custom entry tagged B is ignored at threshold ExtI (7); legacy and
+    # dashed spellings both parse (DeTofu.cs:128-195)
+    p = tmp_path / "tofu.txt"
+    p.write_text("𣭲\t氂\tExtB\n# comment\n\n𬴂\t訂\text-i\n", encoding="utf-8")
+    out = CC.detofu_with_custom_file("𣭲𬴂", 7, p)
+    assert out == "𣭲訂"  # ExtB entry gated out; ext-i entry applies
+
+
+def test_detofu_with_custom_pairs():
+    # reference TestDeTofuWithCustomPairsOverridesBuiltin
+    # (OpenccNetTests.cs:441-459); pairs apply regardless of level
+    out = CC.detofu_with_custom_pairs("𣭲毛 骖𬴂", 0, {"𣭲": "氂", "𬴂": "騑"})
+    assert out == "氂毛 骖騑"
+    assert CC.detofu_with_custom_pairs("𬴂", 7, {"𬴂": "訂"}) == "訂"
+
+
+def test_detofu_builtin_clone_isolation():
+    # reference TestDeTofuBuiltinReturnsIndependentMutableClone +
+    # CloneCannotMutateStaticCache (OpenccNetTests.cs:461-496)
+    from openccnet_spark.detofu import DeTofuMap
+
+    first = DeTofuMap.builtin(CC.bundle, 0).with_custom_pairs({"𬴂": "訂"})
+    second = DeTofuMap.builtin(CC.bundle, 0)
+    assert first.convert("𬴂") == "訂"
+    assert second.convert("𬴂") == "騑"
+    assert CC.detofu("骖𬴂") == "骖騑"  # shared bundle table untouched
+
+
+def test_invalid_config_falls_back_and_records_error():
+    # reference Convert_WithInvalidConfig_ReturnsOriginalTextAndSetsLastError
+    # (OpenccNetTests.cs:186-194)
+    from openccnet_spark.convert import Converter
+
+    cc = Converter()
+    assert cc.convert("测试", "invalid_config") == "測試"  # s2t fallback
+    assert cc.get_last_error() is not None
+    assert "invalid_config" in cc.get_last_error()
+    assert cc.convert("测试", "s2t") == "測試"
+    assert cc.get_last_error() is None  # valid config clears the error
+
+
+def test_invalid_config_strict_raises():
+    import pytest
+
+    from openccnet_spark.convert import Converter
+
+    with pytest.raises(ValueError, match="invalid_config"):
+        Converter(strict=True).convert("测试", "invalid_config")
+
+
 def test_ids_preservation():
     assert CC.convert("⿰口馬", "t2s") == "⿰口马"
     assert CC.convert("⿰口馬", "t2s", preserve_ids=True) == "⿰口馬"
