@@ -257,16 +257,27 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_mutant_docs(spark, sf_dir))
 
 
-def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dups (brute force) — must equal the
-    MinHash+LSH output on this corpus, and shares its oracle."""
-    from openccnet_spark.operators.dedup import ngram_jaccard_pairs
+def _q_dedup_exact_prehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via the 64-bit prehash grouping (the 100 TB form);
+    output — and oracle — identical to dedup_exact."""
+    from openccnet_spark.operators.dedup import exact_duplicates_prehash
 
-    return ngram_jaccard_pairs(_mutant_docs(spark, sf_dir))
+    return exact_duplicates_prehash(_doubled_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups — the BRUTE-FORCE verification
+    baseline (row-count-guarded O(n^2) join; never the production path) —
+    must equal the MinHash+LSH output on this corpus, shares its oracle."""
+    from openccnet_spark.operators.dedup import ngram_jaccard_pairs_bruteforce
+
+    return ngram_jaccard_pairs_bruteforce(_mutant_docs(spark, sf_dir))
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (xxhash64-based => engine-specific; rows-only check)."""
+    """SimHash near-dups; md5-60bit features are recomputed in the DuckDB
+    oracle, and 4x15-bit pigeonhole banding is total for hamming <= 3, so
+    this is a full value-checked query."""
     from openccnet_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_mutant_docs(spark, sf_dir))
@@ -289,8 +300,11 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (approximate => rows-only check;
-    recall vs the exact path is asserted in tests)."""
+    """LSH-bucketed approximate top-5. Approximate vs EXACT search, but
+    fully deterministic: the oracle replays the identical hyperplane sign
+    fold in DuckDB (same float64 literals, same left-to-right order), so
+    buckets — and the final top-k — value-match. Recall vs the exact path
+    is separately asserted in tests."""
     from openccnet_spark.operators.similarity import lsh_ann_topk
 
     return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
@@ -569,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_order": _armed(_q_window_first_order),
         "antijoin_resume": _armed(_q_antijoin_resume),
         "dedup_exact": _armed(_q_dedup_exact),
+        "dedup_exact_prehash": _armed(_q_dedup_exact_prehash),
         "dedup_minhash": _armed(_q_dedup_minhash),
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
         "dedup_simhash": _armed(_q_dedup_simhash),
@@ -833,8 +848,16 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
-        # dedup_simhash / similarity_ann: engine-specific hashing /
-        # approximate results — intentionally rows-only (see docstrings).
+        "dedup_exact_prehash": """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+)
+SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
+FROM d GROUP BY text
+""",
+        "dedup_simhash": _dedup_simhash_oracle(),
+        "similarity_ann": _similarity_ann_oracle(),
     }
 
 
@@ -884,6 +907,90 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _dedup_simhash_oracle() -> str:
+    """Recompute the 60-bit md5-based SimHash per document in DuckDB and
+    emit ALL pairs with hamming <= 3 brute-force. The Spark side's 4x15-bit
+    pigeonhole banding is total for hamming <= 3 (any such pair leaves at
+    least one band untouched), so banded candidates == brute-force pairs."""
+    from openccnet_spark.operators.dedup import SIMHASH_BITS
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substring(text, 1, length(text) - length(string_split(text, ' ')[-1]) - 1)
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+  FROM d
+), sigs AS (
+  SELECT doc_id, ({bit_terms})::BIGINT AS sig FROM hashed
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+def _similarity_ann_oracle() -> str:
+    """The ANN bucket fold, replayed exactly in DuckDB: the hyperplanes are
+    deterministic float64 literals and each projection is the same
+    left-to-right double fold as the Spark expression (cf. ``sql_dot``), so
+    sign bits — and therefore candidate buckets — match bit-for-bit."""
+    from openccnet_spark.operators.similarity import (
+        N_HYPERPLANES,
+        N_TABLES,
+        _hyperplanes,
+        sql_cosine,
+    )
+
+    planes = _hyperplanes(64)
+
+    def key_expr(t: int) -> str:
+        bits = []
+        for j in range(N_HYPERPLANES):
+            terms = " + ".join(
+                f"embedding[{i + 1}]::DOUBLE * {float(planes[t, j, i])!r}"
+                for i in range(64)
+            )
+            bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    keys = ",\n         ".join(f"{key_expr(t)} AS k{t}" for t in range(N_TABLES))
+    bucket_match = " OR ".join(f"q.k{t} = c.k{t}" for t in range(N_TABLES))
+    cos = sql_cosine("qv", "nv")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {keys}
+  FROM embeddings
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qv, c.embedding AS nv
+  FROM b q JOIN b c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND ({bucket_match})
+), s AS (
+  SELECT query_id, neighbor_id, floor({cos} * 1000)::BIGINT AS cos_milli FROM cand
+), r AS (
+  SELECT query_id, neighbor_id, cos_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_milli DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 5
 """
 
 

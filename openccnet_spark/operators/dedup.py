@@ -5,7 +5,8 @@ Four families, each a composition of DataFrame ops (shuffle-conscious):
 * **Exact** — hash-groupBy on the text (or a normalized form). One shuffle
   on the group key; at 100 TB add a first pass grouping on a 64-bit text
   hash so the shuffle carries 8-byte keys instead of document bodies.
-* **MinHash + LSH** — word-shingle -> 64-perm MinHash signature (numpy in
+* **MinHash + LSH** — word-shingle -> 63-perm (21 bands x 3 rows) MinHash
+  signature (numpy in
   one ``mapInPandas`` pass) -> banded LSH keys -> bucket self-join for
   candidates -> exact Jaccard verification with array built-ins. Only
   bucket keys + signatures shuffle, never the corpus; bucket size is capped
@@ -81,8 +82,31 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def exact_duplicates_prehash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup, the 100 TB form: aggregate on ``(xxhash64(text), text)``.
+
+    The 8-byte prehash leads the grouping key, so shuffle partitioning and
+    group comparison work on fixed-size keys; the text column rides along
+    (once per distinct value per map partition, thanks to partial
+    aggregation) solely to keep hash collisions correct — two texts with
+    equal hashes remain distinct groups. Output is identical to
+    ``exact_duplicates`` and shares its oracle.
+    """
+    return (
+        df.select(F.xxhash64(F.col(text_col)).alias("h"), text_col, id_col)
+        .groupBy("h", text_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-perm MinHash signatures via one Arrow pass (numpy per batch)."""
+    """63-perm (21 bands x 3 rows) MinHash signatures via one Arrow pass."""
     out_schema = f"{id_col} long, sig array<long>"
     a, b = _PERM_A, _PERM_B
 
@@ -169,19 +193,31 @@ def minhash_near_duplicates(
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_pairs_bruteforce(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
+    guard_max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs WITHOUT LSH (brute-force join).
+    """Exact n-gram-Jaccard near-dup pairs WITHOUT LSH — a brute-force
+    O(n^2) non-equi join, VERIFICATION-ONLY by design.
 
-    The verification baseline for ``minhash_near_duplicates`` and the right
-    tool when the corpus-partition is small enough (e.g. per-bucket after a
-    coarser partitioner). O(n^2) in rows per partition — at 100 TB use the
-    MinHash path and reserve this for candidate verification.
+    This is the ground-truth baseline that proves ``minhash_near_duplicates``
+    recall, and the right tool only when the input is small (e.g. one LSH
+    bucket, a golden corpus). It must never be pointed at a production
+    table: ``guard_max_rows`` (default 100k -> ~5e9 candidate pairs)
+    raises before the cartesian product is built. Pass ``None`` to disable
+    the guard when composing it per-bucket inside a larger job.
     """
+    if guard_max_rows is not None:
+        n = df.count()
+        if n > guard_max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs_bruteforce is O(n^2): {n} rows > "
+                f"guard_max_rows={guard_max_rows}. Use minhash_near_duplicates "
+                "at scale, or pass guard_max_rows=None for per-bucket use."
+            )
     shingled = df.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -199,51 +235,73 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash over word features, as JVM-side expression.
+SIMHASH_BITS = 60  # 15 hex chars of md5 — exactly recomputable in DuckDB too
+SIMHASH_BANDS = 4  # 15 bits/band; pigeonhole-sound for hamming <= 3
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
 
-    Feature hash = xxhash64(word); signature bit i = sign of the sum of
-    bit i over features. Deterministic but engine-specific (xxhash64), so
-    queries exposing it are rows-only checks.
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash signatures via one Arrow pass (numpy per document).
+
+    Feature hash = first 15 hex chars of md5(word), i.e. the top 60 bits —
+    cross-engine reproducible (Spark ``conv(substr(md5(w),1,15),16,10)``,
+    DuckDB ``('0x'||substr(md5(w),1,15))::BIGINT``), so the operator is
+    fully oracle-checkable instead of rows-only. Signature bit i is set iff
+    the +/-1 sum of bit i over the document's DISTINCT words is positive.
+    One narrow Python stage replaces the previous 64-fold JVM expression
+    (a whole-stage-codegen hazard on long documents).
     """
-    words = F.array_distinct(F.split(text_col, " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # NB: F.lit(1 << 63) overflows Java long in py4j — use shiftleft with a
-    # Python-int bit index. The bit mask must be closed over via a factory
-    # (an `i=i` default would make pyspark read the lambda as 3-ary).
-    def bit_sum(i: int):
-        mask = F.shiftleft(F.lit(1).cast("long"), i)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
+    import hashlib
 
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    out_schema = f"{id_col} long, simhash long"
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def _sign(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = set((text or "").split(" "))
+                h = np.array(
+                    [int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in words],
+                    dtype=np.uint64,
+                )
+                bitsums = (((h[:, None] >> shifts[None, :]) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+                sig = int(((bitsums > 0).astype(np.uint64) << shifts).sum())
+                ids.append(did)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(_sign, out_schema)
 
 
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dups via pigeonhole banding on 4 x 16-bit prefixes."""
-    sh = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    """SimHash near-dups via pigeonhole banding on 4 x 15-bit prefixes.
+
+    Sound for ``max_hamming <= SIMHASH_BANDS - 1``: a pair within that
+    Hamming distance differs in fewer bands than exist, so at least one
+    band key collides and the pair is generated as a candidate. Only
+    (band_key, id, simhash) shuffles — never document text.
+    """
+    sh = simhash_signatures(df, text_col, id_col)
     bands = F.array(
         *[
             F.concat_ws(
-                "_", F.lit(i), F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                "_",
+                F.lit(i),
+                F.shiftrightunsigned("simhash", i * _SIMHASH_BAND_BITS).bitwiseAND(
+                    F.lit(_SIMHASH_BAND_MASK)
+                ),
             )
-            for i in range(4)
+            for i in range(SIMHASH_BANDS)
         ]
     )
     buckets = sh.select(id_col, "simhash", F.explode(bands).alias("band_key"))
     a = buckets.select("band_key", F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = buckets.select("band_key", F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
     return (
         a.join(b, "band_key")
         .filter(F.col("a") < F.col("b"))
