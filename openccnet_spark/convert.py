@@ -255,7 +255,7 @@ class Converter:
         stripped = self._STRIP_RE.sub("", sample)
         if not stripped:
             return 0
-        probe = stripped[:100]
+        probe = _first_text_elements(stripped, 100)
         if _char_conversion_changes(probe, self.bundle["ts_characters"]):
             return 1
         if _char_conversion_changes(probe, self.bundle["st_characters"]):
@@ -295,6 +295,30 @@ class Converter:
         from .detofu import DeTofuMap
 
         return DeTofuMap.builtin(self.bundle, level).with_custom_pairs(pairs).convert(text)
+
+
+def _first_text_elements(text: str, n: int) -> str:
+    """Prefix containing the first ``n`` text elements.
+
+    The reference samples 100 .NET ``StringInfo`` text elements (grapheme
+    clusters, Opencc.cs:2194-2196), not code points. Approximated here as
+    base code point + any following combining marks (Mn/Mc/Me) or
+    variation selectors — identical to ``text[:n]`` on mark-free text,
+    and matching the reference's window on combining-mark inputs.
+    """
+    import unicodedata
+
+    count = 0
+    for idx, ch in enumerate(text):
+        if idx and (
+            unicodedata.category(ch) in ("Mn", "Mc", "Me")
+            or 0xFE00 <= ord(ch) <= 0xFE0F
+        ):
+            continue
+        count += 1
+        if count > n:
+            return text[:idx]
+    return text
 
 
 def _clamp_utf16(text: str, max_units: int) -> str:

@@ -13,10 +13,13 @@ language scores come from one fancy-indexed sum over a (n_langs, buckets)
 weight matrix.
 
 Classification:
-1. Han-script ratio >= HAN_RATIO -> ``zh`` (subsumes ZhoCheck's role; the
-   Traditional/Simplified split stays with ``zho_check`` itself).
-2. Otherwise best weighted trigram-profile score wins.
-3. No letters at all -> ``und``.
+1. Kana ratio >= SCRIPT_RATIO -> ``ja`` (kanji-heavy Japanese still carries
+   kana, so this must run BEFORE the Han rule); Hangul -> ``ko``.
+2. Han-script ratio >= SCRIPT_RATIO -> ``zh`` (subsumes ZhoCheck's role;
+   the Traditional/Simplified split stays with ``zho_check`` itself).
+3. Otherwise best weighted trigram-profile score wins (en/fr/de/es + the
+   ja/ko seeds for romanization-free mixed text).
+4. No letters at all -> ``und``.
 """
 
 from __future__ import annotations
@@ -28,12 +31,17 @@ from functools import lru_cache
 import numpy as np
 
 HAN_RATIO = 0.05
+SCRIPT_RATIO = HAN_RATIO
 SAMPLE_CHARS = 240
 
 _HAN_RE = re.compile(
     "[㐀-䶿一-鿿豈-﫿"
     "\U00020000-\U0002ebef\U00030000-\U000323af]"
 )
+#: Hiragana + Katakana (incl. phonetic extensions + halfwidth katakana)
+_KANA_RE = re.compile("[぀-ヿㇰ-ㇿｦ-ﾟ]")
+#: Hangul syllables, jamo, and compatibility jamo
+_HANGUL_RE = re.compile("[가-힯ᄀ-ᇿ㄰-㆏]")
 
 
 def han_count(text: str) -> int:
@@ -77,6 +85,22 @@ _SEEDS = {
         "más que la cantidad por favor dime qué piensas de este enfoque y si "
         "funciona para tu caso de uso con tablas grandes de texto"
     ),
+    "ja": (
+        "すばやい茶色の狐はのろまな犬を飛び越えてそれから逃げていきました "
+        "これは大規模なデータ処理についての簡単な日本語の文章です "
+        "学習のためには文書をフィルタリングして良いものだけを残すべきです "
+        "なぜなら量よりも質のほうが大切だからです "
+        "この方法についてどう思うか教えてください "
+        "大きなテキストの表でうまくいくかどうかも知りたいです"
+    ),
+    "ko": (
+        "빠른 갈색 여우가 게으른 개를 뛰어넘고 나서 도망갔습니다 "
+        "이것은 대규모 데이터 처리에 관한 간단한 한국어 문장입니다 "
+        "학습을 위해서는 문서를 필터링하고 좋은 것만 남겨야 합니다 "
+        "왜냐하면 양보다 질이 더 중요하기 때문입니다 "
+        "이 접근 방식에 대해 어떻게 생각하는지 알려 주세요 "
+        "큰 텍스트 테이블에서도 잘 작동하는지 궁금합니다"
+    ),
 }
 
 _LANGS = tuple(_SEEDS)
@@ -118,6 +142,11 @@ def detect_language(text: str) -> str:
         return "und"
     sample = text[:SAMPLE_CHARS]
     n = len(sample)
+    # kana first: kanji-heavy Japanese would otherwise trip the Han rule
+    if len(_KANA_RE.findall(sample)) >= SCRIPT_RATIO * n:
+        return "ja"
+    if len(_HANGUL_RE.findall(sample)) >= SCRIPT_RATIO * n:
+        return "ko"
     if han_count(sample) >= HAN_RATIO * n:
         return "zh"
     if _ALPHA_RE.search(sample) is None:

@@ -60,6 +60,10 @@ def sql_quality_score_milli(t: str) -> str:
     )
 
 
+#: chunk width for the fingerprint fold — bounds per-row temporary arrays
+FP_CHUNK = 1024
+
+
 def fingerprint64(col: Column) -> Column:
     """Rolling polynomial hash over the text's code points (document
     fingerprint): h = (h * 31 + codepoint) mod 2^31-1, left fold.
@@ -67,12 +71,27 @@ def fingerprint64(col: Column) -> Column:
     Uses only integer arithmetic on ``ascii()`` of each character so the
     fold is engine-portable (both Spark and DuckDB ``ascii`` return the
     code point of the first character).
+
+    CHUNKED for scale: the outer fold walks ``ceil(n / FP_CHUNK)`` chunk
+    indices and the inner fold splits only one FP_CHUNK-char substring at
+    a time, so a 100 KB document materializes a ~100-int array plus one
+    1024-element char array — never a whole-document single-char-string
+    array. The rolling hash is sequential, so chunking is exact: the inner
+    fold of chunk i+1 continues from chunk i's accumulator.
     """
-    chars = F.split(col, "")
+    n = F.length(col)
+    # NB: sequence(0, -1) is DESCENDING [0, -1] — guard the empty string
+    chunk_ids = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / F.lit(FP_CHUNK)).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return F.aggregate(
-        chars,
+        chunk_ids,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % 2147483647,
+        lambda acc, ci: F.aggregate(
+            F.split(F.substring(col, ci * FP_CHUNK + 1, F.lit(FP_CHUNK)), ""),
+            acc,
+            lambda a, c: (a * 31 + F.ascii(c)) % 2147483647,
+        ),
     )
 
 

@@ -1,9 +1,10 @@
 """Plain-text file sources with legacy-encoding support (SURVEY §2.3).
 
 The reference CLI reads text files in UTF-8/UNICODE/GBK/GB2312/BIG5/
-Shift-JIS (``OpenccNet/ConvertCommand.cs:55-65,303-348``). Spark's native
-``spark.read.text`` is UTF-8 only, so non-UTF-8 corpora come in through the
-``binaryFile`` source with decoding in an Arrow pass:
+Shift-JIS (``OpenccNet/ConvertCommand.cs:55-65,303-348``). All encodings
+come in through the ``binaryFile`` source with decoding in an Arrow pass
+(Spark's native ``spark.read.text`` cannot yield reliable per-file line
+numbers once a file spans scan splits):
 
 * one file per row (``binaryFile``), decode + split to lines in
   ``mapInPandas`` — no driver-side reads, files parallelize across tasks;
@@ -33,22 +34,15 @@ def read_text_files(
 ) -> DataFrame:
     """Read text files of any supported encoding into (path, line_no, text).
 
-    UTF-8 fast path uses the native text source (JVM-side, splittable);
-    everything else decodes in one vectorized pass over binaryFile rows.
+    Every encoding — including UTF-8 — decodes whole files in one
+    vectorized pass over ``binaryFile`` rows, so ``line_no`` is derived
+    from the actual byte order of each file. (A ``spark.read.text`` +
+    window-on-``monotonically_increasing_id`` fast path was dropped: it
+    relied on scan split indexes following byte-offset order, an
+    undocumented detail that misorders lines for files larger than
+    ``maxPartitionBytes``.) Files parallelize across tasks; line numbers
+    within a file are exact by construction.
     """
-    enc = encoding.lower().replace("-", "_")
-    if enc in ("utf_8", "utf8"):
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
-
-        df = spark.read.text(path_glob).select(
-            F.input_file_name().alias("path"), F.col("value").alias("text")
-        )
-        w = Window.partitionBy("path").orderBy(F.monotonically_increasing_id())
-        return df.withColumn("line_no", F.row_number().over(w) - 1).select(
-            "path", "line_no", "text"
-        )
-
     binary = spark.read.format("binaryFile").load(path_glob)
 
     def _decode(batches):

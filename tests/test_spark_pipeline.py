@@ -136,3 +136,18 @@ def test_scrub_fixtures(spark):
     ).collect()[0]
     assert out.text_scrubbed == "联系我 [EMAIL] 或 [PHONE]"
     assert out.keep
+
+
+def test_langid_scripts():
+    """ja/ko script detection (VERDICT r01 item 10): kana must win over the
+    Han rule for kanji-heavy Japanese; hangul -> ko; Latin profiles intact."""
+    from openccnet_spark.functions.langid import detect_language
+
+    assert detect_language("すばやい狐が犬を飛び越えた") == "ja"
+    # kanji-heavy Japanese still carries kana -> ja, not zh
+    assert detect_language("東京都の人口は約一千四百万人です、よろしくお願いします") == "ja"
+    assert detect_language("안녕하세요 데이터 처리에 관한 문장입니다") == "ko"
+    assert detect_language("简体中文的软件文档质量很高") == "zh"
+    assert detect_language("繁體中文的軟體文件品質很高") == "zh"
+    assert detect_language("the quick brown fox jumps over the lazy dog") == "en"
+    assert detect_language("12345 !!!") == "und"

@@ -174,7 +174,9 @@ def main() -> int:
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = json.dumps(bundle, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
     with open(out, "wb") as raw:
-        with gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=9, mtime=0) as f:
+        # filename="" keeps the gzip FNAME header empty so the artifact is
+        # byte-identical regardless of output path (mtime=0 likewise)
+        with gzip.GzipFile("", "wb", 9, raw, mtime=0) as f:
             f.write(payload)
     m = bundle["meta"]
     print(f"wrote {out} ({out.stat().st_size} bytes)")
