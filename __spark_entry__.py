@@ -13,6 +13,7 @@ identical floors in both engines). Pass-through parquet doubles are safe.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -310,6 +311,47 @@ def _q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+#: (case_id, pages, builder kwargs, pdf_to_text kwargs, expected) — the PDF
+#: frontend driven end-to-end: parse -> extract -> reflow -> convert
+#: (reference PdfCommand.cs:211-247; expected strings hand-verified)
+_PDF_GOLDENS = [
+    (0, [["他走在路上，忽然看见", "一个熟悉的身影。"], ["第二页内容。"]],
+     {}, {"config": "s2t", "reflow": True},
+     "他走在路上，忽然看見一個熟悉的身影。\n\n第二頁內容。"),
+    (1, [["hello world", "line two"]],
+     {"cjk": False, "compress": False}, {},
+     "hello world\nline two\n\n"),
+    (2, [["第一章 初遇", "章节正文从这里开始，", "跨行续写完毕。"]],
+     {}, {"config": "t2s", "reflow": True},
+     "第一章 初遇\n\n章节正文从这里开始，跨行续写完毕。"),
+]
+
+
+def _q_pdf_reflow_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized PDFs through the full pdf pipeline (extract -> reflow ->
+    convert) as a distributed mapInPandas pass over binary rows."""
+    import pandas as pd
+
+    from openccnet_spark.sources.pdf import pdf_to_text
+    from openccnet_spark.sources.pdf_synth import build_pdf
+
+    rows = [
+        (i, build_pdf(pages, **bkw), json.dumps(pkw))
+        for i, pages, bkw, pkw, _e in _PDF_GOLDENS
+    ]
+    df = spark.createDataFrame(rows, "case_id int, content binary, params string")
+
+    def _run(batches):
+        for pdf in batches:
+            out = [
+                pdf_to_text(bytes(c), **json.loads(p))
+                for c, p in zip(pdf["content"], pdf["params"])
+            ]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "text": out})
+
+    return df.mapInPandas(_run, "case_id int, text string")
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, fingerprint over documents."""
     from openccnet_spark.operators import textstats as T
@@ -594,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _armed(_q_multimodal_features),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
+        "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
         "ids_preserve_goldens": _armed(_q_ids_preserve),
         "custom_dict_convert": _armed(_q_custom_dict),
         "events_window": _armed(_q_events_window),
@@ -856,6 +899,11 @@ WITH d AS (
 SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
 FROM d GROUP BY text
 """,
+        "pdf_reflow_convert": _values_oracle(
+            [(i, e) for i, _p, _b, _k, e in _PDF_GOLDENS],
+            "case_id::INT AS case_id, text",
+            "case_id, text",
+        ),
         "dedup_simhash": _dedup_simhash_oracle(),
         "similarity_ann": _similarity_ann_oracle(),
     }

@@ -1,0 +1,107 @@
+"""Deterministic synthetic PDF builders (test + driver-query fixtures).
+
+No PDF library exists in this sandbox, so fixtures are written by hand:
+a minimal but spec-valid PDF (header, objects, xref, trailer). Two font
+modes: a simple Type1 font (1-byte Latin codes, no ToUnicode) and a CJK
+composite font (Identity-H, 2-byte codes, ToUnicode CMap) — the two
+decoding paths of ``openccnet_spark/sources/pdf.py``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _stream_obj(num: int, payload: bytes, extra: bytes = b"", compress: bool = False) -> bytes:
+    if compress:
+        payload = zlib.compress(payload)
+        extra += b" /Filter /FlateDecode"
+    head = b"<< /Length %d%s >>\nstream\n" % (len(payload), extra)
+    return _obj(num, head + payload + b"\nendstream")
+
+
+def _cid_hex(text: str) -> bytes:
+    """Encode text as 2-byte CIDs == BMP code points (Identity mapping)."""
+    return ("<" + "".join(f"{ord(c):04X}" for c in text) + ">").encode("ascii")
+
+
+def _tounicode_identity() -> bytes:
+    """ToUnicode CMap mapping every 2-byte code to the same BMP char."""
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0000> <FFFF> <0000>\nendbfrange\n"
+        b"endcmap CMapName currentdict /CMap defineresource pop end end"
+    )
+
+
+def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:
+    """One PDF with the given pages; each page is a list of text lines.
+
+    ``cjk=True`` uses the Identity-H composite font + ToUnicode CMap
+    (2-byte hex-string codes); ``cjk=False`` uses a plain Type1 font with
+    1-byte literal strings (Latin-1 text only).
+    """
+    objects: dict[int, bytes] = {}
+    n_pages = len(pages)
+    # 1 catalog, 2 pages node, 3 font, 4 tounicode (cjk), pages from 5
+    kids = b" ".join(b"%d 0 R" % (5 + 2 * i) for i in range(n_pages))
+    objects[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects[2] = _obj(
+        2, b"<< /Type /Pages /Count %d /Kids [%s] >>" % (n_pages, kids)
+    )
+    if cjk:
+        objects[3] = _obj(
+            3,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity"
+            b" /Encoding /Identity-H /ToUnicode 4 0 R >>",
+        )
+        objects[4] = _stream_obj(4, _tounicode_identity(), compress=compress)
+    else:
+        objects[3] = _obj(
+            3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+
+    for i, lines in enumerate(pages):
+        page_num = 5 + 2 * i
+        content_num = page_num + 1
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append(b"0 -14 Td")
+            if cjk:
+                ops.append(_cid_hex(line) + b" Tj")
+            else:
+                esc = line.encode("latin-1").replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+                ops.append(b"(" + esc + b") Tj")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        objects[page_num] = _obj(
+            page_num,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents %d 0 R >>" % content_num,
+        )
+        objects[content_num] = _stream_obj(content_num, content, compress=compress)
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    max_num = max(objects)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, xref_pos)
+    )
+    return bytes(out)

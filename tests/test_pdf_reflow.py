@@ -1,0 +1,127 @@
+"""PDF extraction + CJK reflow tests (reference PdfCommand/ReflowHelper).
+
+Reference behaviors pinned: page order + [Page x/y] headers + blank-page
+separators (PdfHelper.cs:140-170), ToUnicode CMap decoding, reflow joins/
+breaks (ReflowHelper.cs:163-510), heading/metadata/divider/list handling,
+repeated-header collapsing.
+"""
+
+from __future__ import annotations
+
+from openccnet_spark.reflow import (
+    ends_with_sentence_boundary,
+    has_unclosed_bracket,
+    has_unclosed_dialog_quote,
+    reflow_cjk_paragraphs,
+)
+from openccnet_spark.sources.pdf import extract_pdf_text, pdf_to_text
+from openccnet_spark.sources.pdf_synth import build_pdf
+
+
+def test_extract_cjk_pages():
+    pdf = build_pdf([["他走在路上，忽然看见", "一个熟悉的身影。"], ["第二页内容。"]])
+    assert extract_pdf_text(pdf) == "他走在路上，忽然看见\n一个熟悉的身影。\n\n第二页内容。\n\n"
+
+
+def test_extract_page_headers_and_blank_page():
+    pdf = build_pdf([["第一页。"], [], ["第三页。"]])
+    out = extract_pdf_text(pdf, add_page_header=True)
+    assert "=== [Page 1/3] ===" in out
+    assert "=== [Page 2/3] ===" in out  # blank page keeps its header
+    assert "=== [Page 3/3] ===" in out
+    assert "第三页。" in out
+
+
+def test_extract_ascii_uncompressed():
+    pdf = build_pdf([["hello (world) \\ test", "line two"]], cjk=False, compress=False)
+    assert extract_pdf_text(pdf) == "hello (world) \\ test\nline two\n\n"
+
+
+def test_pdf_pipeline_reflow_and_convert():
+    pdf = build_pdf([["他走在路上，忽然看见", "一个熟悉的身影。"], ["第二页内容。"]])
+    out = pdf_to_text(pdf, config="s2t", reflow=True)
+    assert out == "他走在路上，忽然看見一個熟悉的身影。\n\n第二頁內容。"
+
+
+def test_pdf_extract_only():
+    pdf = build_pdf([["简体字不转换"]])
+    assert "简体字不转换" in pdf_to_text(pdf)  # config=None: extract only
+
+
+def test_spark_pdf_source(spark, tmp_path):
+    pdf = build_pdf([["他走在路上，忽然看见", "一个熟悉的身影。"]])
+    (tmp_path / "a.pdf").write_bytes(pdf)
+    (tmp_path / "b.pdf").write_bytes(pdf)
+    from openccnet_spark.sources.pdf import convert_pdf_files
+
+    rows = convert_pdf_files(
+        spark, str(tmp_path / "*.pdf"), config="t2s", reflow=True
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.text == "他走在路上，忽然看见一个熟悉的身影。"
+
+
+# --- reflow unit behavior ------------------------------------------------------
+
+
+def test_reflow_joins_wrapped_paragraph():
+    out = reflow_cjk_paragraphs("他走在路上，忽然看见\n一个熟悉的身影，那是\n多年未见的老朋友。")
+    assert out == "他走在路上，忽然看见一个熟悉的身影，那是多年未见的老朋友。"
+
+
+def test_reflow_chapter_heading_standalone():
+    out = reflow_cjk_paragraphs("第一章 初遇\n他走在路上。")
+    assert out == "第一章 初遇\n\n他走在路上。"
+
+
+def test_reflow_dialog_kept_whole():
+    out = reflow_cjk_paragraphs("“你还好吗？”他问道，\n声音里带着颤抖。")
+    assert out == "“你还好吗？”他问道，声音里带着颤抖。"
+
+
+def test_reflow_metadata_and_divider_standalone():
+    out = reflow_cjk_paragraphs("作者：某人\n---\n正文第一句。")
+    assert out.split("\n\n") == ["作者：某人", "---", "正文第一句。"]
+
+
+def test_reflow_unclosed_quote_joins_across_blank_line():
+    # a blank line inside an open quote is extraction noise, not a break
+    out = reflow_cjk_paragraphs("“他说道，这个句子很长\n\n还没有说完。”然后停了。")
+    assert out == "“他说道，这个句子很长还没有说完。”然后停了。"
+
+
+def test_reflow_page_header_mode_breaks_on_blank():
+    txt = "=== [Page 1/2] ===\n第一段完。\n\n=== [Page 2/2] ===\n第二段完。"
+    out = reflow_cjk_paragraphs(txt, add_pdf_page_header=True)
+    parts = out.split("\n\n")
+    assert "=== [Page 1/2] ===" in parts and "第二段完。" in parts
+
+
+def test_reflow_collapses_repeated_header_tokens():
+    # 3+ consecutive repeats of a short phrase collapse to one
+    out = reflow_cjk_paragraphs("某书名 某书名 某书名 某书名\n正文开始了。")
+    assert "某书名 某书名" not in out
+    assert "某书名" in out
+
+
+def test_reflow_list_lines():
+    out = reflow_cjk_paragraphs("1) 第一项。\n2) 第二项。")
+    assert out == "1) 第一项。\n\n2) 第二项。"
+
+
+def test_reflow_compact_mode():
+    out = reflow_cjk_paragraphs("第一段。\n第二段。", compact=True)
+    assert out == "第一段。\n第二段。"
+
+
+def test_punct_helpers():
+    assert has_unclosed_bracket("（未闭合")
+    assert not has_unclosed_bracket("（闭合了）")
+    assert has_unclosed_bracket("错配）")  # unmatched closer counts
+    assert not has_unclosed_bracket("无括号")
+    assert has_unclosed_dialog_quote("“开着")
+    assert not has_unclosed_dialog_quote("“闭合”")
+    assert ends_with_sentence_boundary("他说完了。")
+    assert ends_with_sentence_boundary("他问：“好吗？”")  # closer after strong end
+    assert not ends_with_sentence_boundary("他说，")
