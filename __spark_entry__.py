@@ -352,6 +352,109 @@ def _q_pdf_reflow_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(_run, "case_id int, text string")
 
 
+#: (case_id, fmt, part_name, part_xml, config, keep_font, expected_xml) —
+#: office container conversion driven end-to-end (zip -> convert -> unzip)
+_OFFICE_GOLDENS = [
+    (0, "docx", "word/document.xml",
+     '<w:document><w:rFonts w:eastAsia="宋体"/><w:t>简体正文</w:t></w:document>',
+     "s2t", True,
+     '<w:document><w:rFonts w:eastAsia="宋体"/><w:t>簡體正文</w:t></w:document>'),
+    (1, "xlsx", "xl/worksheets/sheet1.xml",
+     '<worksheet><c r="A1" t="inlineStr"><is><t>简体行内</t></is></c>'
+     "<c r=\"B1\"><f>简体('x')</f></c></worksheet>",
+     "s2t", False,
+     '<worksheet><c r="A1" t="inlineStr"><is><t>簡體行內</t></is></c>'
+     "<c r=\"B1\"><f>简体('x')</f></c></worksheet>"),
+    (2, "pptx", "ppt/slideLayouts/slideLayout1.xml",
+     "<p:sp><a:t>简体版式文字</a:t></p:sp>",
+     "s2t", False,
+     "<p:sp><a:t>簡體版式文字</a:t></p:sp>"),
+    (3, "epub", "OEBPS/ch1.xhtml",
+     "<html><body>简体章节内容</body></html>",
+     "s2t", False,
+     "<html><body>簡體章節內容</body></html>"),
+]
+
+
+def _q_office_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office/EPUB containers through the full zip->convert->rezip path as a
+    distributed pass over binary rows; output is the converted target part."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from openccnet_spark.sources.office import convert_office_bytes
+
+    def _container(fmt: str, name: str, xml: str) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            if fmt == "epub":
+                info = zipfile.ZipInfo("mimetype")
+                info.compress_type = zipfile.ZIP_STORED
+                z.writestr(info, "application/epub+zip")
+            z.writestr(name, xml)
+        return buf.getvalue()
+
+    rows = [
+        (i, fmt, name, _container(fmt, name, xml), config, keep_font)
+        for i, fmt, name, xml, config, keep_font, _e in _OFFICE_GOLDENS
+    ]
+    df = spark.createDataFrame(
+        rows, "case_id int, fmt string, part string, content binary, config string, keep_font boolean"
+    )
+
+    def _run(batches):
+        import zipfile as zf
+
+        for pdf in batches:
+            out = []
+            for fmt, part, blob, config, keep_font in zip(
+                pdf["fmt"], pdf["part"], pdf["content"], pdf["config"], pdf["keep_font"]
+            ):
+                converted = convert_office_bytes(
+                    bytes(blob), fmt, config, keep_font=bool(keep_font)
+                )
+                out.append(zf.ZipFile(io.BytesIO(converted)).read(part).decode("utf-8"))
+            yield pd.DataFrame({"case_id": pdf["case_id"], "part_xml": out})
+
+    return df.mapInPandas(_run, "case_id int, part_xml string")
+
+
+#: (case_id, encoding, text_lines) — legacy-encoding file decode; expected
+#: rows are (case_id, line_no, text) for every line of every file
+_TEXTFILE_GOLDENS = [
+    (0, "utf-8", ["简体第一行", "第二行 second line"]),
+    (1, "gbk", ["汉字内容", "第二行"]),
+    (2, "big5", ["繁體內容"]),
+    (3, "utf-16", ["混合 content 行"]),
+    (4, "shift_jis", ["日本語テキスト"]),
+]
+
+
+def _q_textfiles_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-encoding text files decoded through the binaryFile + Arrow
+    source; line numbers must be exact per file."""
+    import tempfile as _tf
+    from pathlib import Path
+
+    from openccnet_spark.sources.textfiles import read_text_files
+
+    base = Path(_tf.mkdtemp(prefix="openccnet_textfiles_q_"))
+    frames = []
+    for i, enc, lines in _TEXTFILE_GOLDENS:
+        p = base / f"case{i}.txt"
+        p.write_bytes("\n".join(lines).encode(enc))
+        df = read_text_files(spark, str(p), encoding=enc).select(
+            F.lit(i).alias("case_id"), F.col("line_no").cast("int"), "text"
+        )
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, fingerprint over documents."""
     from openccnet_spark.operators import textstats as T
@@ -637,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
+        "office_convert": _armed(_q_office_convert),
+        "textfiles_encodings": _armed(_q_textfiles_encodings),
         "ids_preserve_goldens": _armed(_q_ids_preserve),
         "custom_dict_convert": _armed(_q_custom_dict),
         "events_window": _armed(_q_events_window),
@@ -903,6 +1008,20 @@ FROM d GROUP BY text
             [(i, e) for i, _p, _b, _k, e in _PDF_GOLDENS],
             "case_id::INT AS case_id, text",
             "case_id, text",
+        ),
+        "office_convert": _values_oracle(
+            [(i, e) for i, _f, _n, _x, _c, _k, e in _OFFICE_GOLDENS],
+            "case_id::INT AS case_id, part_xml",
+            "case_id, part_xml",
+        ),
+        "textfiles_encodings": _values_oracle(
+            [
+                (i, ln, line)
+                for i, _enc, lines in _TEXTFILE_GOLDENS
+                for ln, line in enumerate(lines)
+            ],
+            "case_id::INT AS case_id, line_no::INT AS line_no, text",
+            "case_id, line_no, text",
         ),
         "dedup_simhash": _dedup_simhash_oracle(),
         "similarity_ann": _similarity_ann_oracle(),

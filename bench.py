@@ -47,10 +47,10 @@ def _hw_work(_):
 
 
 def _hw_control_efficiency(low: int, high: int) -> float:
-    """Hardware ceiling control: throughput efficiency low->high cores of a
+    """Silicon ceiling control: throughput efficiency low->high cores of a
     pure-Python integer loop under multiprocessing (no Spark, no shared
-    state). Sub-1.0 values here are turbo/memory clocking, not framework
-    overhead — the Spark job cannot scale better than this."""
+    state, ~no memory traffic). Sub-1.0 values here are turbo/memory
+    clocking alone — the absolute upper bound for ANY workload."""
     import multiprocessing as mp
 
     _work = _hw_work  # module-level: multiprocessing must pickle it
@@ -63,6 +63,40 @@ def _hw_control_efficiency(low: int, high: int) -> float:
     # n tasks on n procs: ideal wall time is constant, so efficiency is the
     # wall-time ratio (each proc does identical fixed work)
     return times[low] / times[high]
+
+
+def _workload_ctrl_task(_):
+    """One control task: the SAME per-turn scalar pipeline the Spark job
+    vectorizes (convert + langid + ppl + heuristics + scrub) over the pool
+    texts — the workload's dictionary/cache footprint without any Spark."""
+    from openccnet_spark.convert import Converter
+    from openccnet_spark.operators.pipeline import reference_label
+    from openccnet_spark.sources.transcripts import POOL, pool_text
+
+    cc = Converter()
+    texts = [pool_text(i) for i in range(len(POOL))]
+    for _rep in range(1500):
+        for t in texts:
+            reference_label(t, converter=cc)
+    return 0
+
+
+def _workload_control_times(low: int, high: int) -> dict[int, float]:
+    """Wall time of n identical matcher tasks on n processes, for n in
+    (low, high) — pure multiprocessing, no Spark. This is the no-framework
+    ceiling for THIS workload on THIS host: dictionary lookups are
+    cache/memory-bandwidth bound, so 4x the active cores on one socket
+    cannot give 4x the throughput even with zero framework."""
+    import multiprocessing as mp
+
+    times = {}
+    for n in (low, high):
+        with mp.Pool(n) as p:
+            p.map(_workload_ctrl_task, range(n))  # warmup: bundle + caches
+            t0 = time.perf_counter()
+            p.map(_workload_ctrl_task, range(n))
+            times[n] = time.perf_counter() - t0
+    return times
 
 
 def _session(master: str, shuffle_partitions: int, executor_mem: str | None = None):
@@ -151,7 +185,7 @@ def main() -> int:
         n_exec_low, n_exec_high, cores_per_exec = 1, 4, 4
         scale_low = scale_high_exec = None
         scaling_mode = "executors"
-        hw_effs: list[float] = []
+        ctrl_times: dict[int, list[float]] = {}
         try:
             exec_times: dict[int, list[float]] = {n_exec_low: [], n_exec_high: []}
             for _rep in range(2):
@@ -164,13 +198,12 @@ def main() -> int:
                     _bench_pipeline(spark, transcripts_path, None)  # warmup
                     exec_times[n_exec].append(_bench_pipeline(spark, scale_path, None))
                     spark.stop()
-                # hardware ceiling measured INSIDE the loop so it sees the
+                # workload ceiling measured INSIDE the loop so it sees the
                 # same tenant load as the Spark pair it calibrates
-                hw_effs.append(
-                    _hw_control_efficiency(
-                        n_exec_low * cores_per_exec, n_exec_high * cores_per_exec
-                    )
-                )
+                for n, t in _workload_control_times(
+                    n_exec_low * cores_per_exec, n_exec_high * cores_per_exec
+                ).items():
+                    ctrl_times.setdefault(n, []).append(t)
             scale_low = min(exec_times[n_exec_low])
             scale_high_exec = min(exec_times[n_exec_high])
             queries[f"pipeline_scale_{n_exec_low}x{cores_per_exec}exec"] = round(scale_low, 3)
@@ -232,10 +265,13 @@ def main() -> int:
 
     cores_low = n_exec_low * cores_per_exec
     cores_high = n_exec_high * cores_per_exec
-    if hw_effs:
-        hw_eff = sum(hw_effs) / len(hw_effs)
+    hw_eff = _hw_control_efficiency(cores_low, cores_high)
+    if ctrl_times:
+        # min per side across interleaved reps — same estimator as Spark
+        workload_ctrl = min(ctrl_times[cores_low]) / min(ctrl_times[cores_high])
     else:
-        hw_eff = _hw_control_efficiency(cores_low, cores_high)
+        t = _workload_control_times(cores_low, cores_high)
+        workload_ctrl = t[cores_low] / t[cores_high]
     thr_low = n_turns_big / scale_low
     thr_high = n_turns_big / scale_high_exec
     # one pure N->4N pair of the SAME job on the SAME input (best-of-2 per
@@ -262,11 +298,20 @@ def main() -> int:
                 "scaling_efficiency_executors": round(efficiency, 3)
                 if scaling_mode == "executors"
                 else None,
-                # what this host itself scales at between the same two core
-                # counts (pure multiprocessing, no Spark): the physical
-                # ceiling any framework could reach here
+                # two no-Spark multiprocessing controls at the same core
+                # counts: the integer-loop silicon ceiling, and the
+                # workload-matched ceiling (the same per-turn matcher
+                # pipeline — cache/memory-bound like the real job). Spark
+                # efficiency at or above the workload control means the
+                # FRAMEWORK adds no scaling penalty; the shortfall vs 1.0
+                # is this single socket's memory system, which a real
+                # N->4N cluster (adding machines) does not share.
                 "hw_control_efficiency": round(hw_eff, 3),
+                "workload_control_efficiency": round(workload_ctrl, 3),
                 "scaling_efficiency_vs_hw_ceiling": round(efficiency / hw_eff, 3),
+                "scaling_efficiency_vs_workload_control": round(
+                    efficiency / workload_ctrl, 3
+                ),
             }
         )
     )
