@@ -135,8 +135,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(_sign, out_schema)
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Banded-LSH candidate pairs (a < b). Shuffles (band_key, id) only."""
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", persist: bool = False
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a < b). Shuffles (band_key, id) only.
+
+    ``persist=True`` materializes the banded/bucket-size-filtered frame
+    before the self-join: without it Spark recomputes the whole upstream
+    subtree (including the signature mapInPandas and its scan) once per
+    join side. Off by default for small verification runs; at scale,
+    persist — or better, write signatures to a table first.
+    """
     bands = F.array(
         *[
             F.concat_ws(
@@ -154,6 +163,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
     ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    if persist:
+        sized = sized.persist()
     a = sized.select(F.col("band_key"), F.col(id_col).alias("a"))
     b = sized.select(F.col("band_key"), F.col(id_col).alias("b"))
     return (
@@ -169,15 +180,20 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
+    persist: bool = False,
 ) -> DataFrame:
     """MinHash/LSH candidates verified by exact Jaccard on distinct shingles.
 
     Output: (a, b, jaccard_milli) with a < b and jaccard >= threshold.
+    ``persist`` materializes the banded signatures before the self-join
+    (see ``lsh_candidate_pairs``).
     """
     shingled = df.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
-    pairs = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col), id_col)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col), id_col, persist=persist
+    )
     sa = shingled.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -276,7 +292,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    persist: bool = False,
 ) -> DataFrame:
     """SimHash near-dups via pigeonhole banding on 4 x 15-bit prefixes.
 
@@ -284,8 +304,15 @@ def simhash_near_duplicates(
     Hamming distance differs in fewer bands than exist, so at least one
     band key collides and the pair is generated as a candidate. Only
     (band_key, id, simhash) shuffles — never document text.
+
+    ``persist=True`` materializes the signatures before the self-join so
+    the signature mapInPandas (and its scan) runs once instead of once
+    per join side — the right call at scale (or write signatures to a
+    table and self-join that).
     """
     sh = simhash_signatures(df, text_col, id_col)
+    if persist:
+        sh = sh.persist()
     bands = F.array(
         *[
             F.concat_ws(
