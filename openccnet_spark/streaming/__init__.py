@@ -8,15 +8,25 @@ mirrors the batch metrics table (SURVEY §2.2 metrics stage).
 
 At production scale the source is a Kafka topic or an Iceberg
 streaming-read; the sandbox tests use the file source over the same
-parquet schema. Stateful extensions (e.g. per-conversation session
-aggregation) would use ``applyInPandasWithState`` — not required by the
-reference's semantics, which are strictly per-turn.
+parquet schema. The reference's semantics are strictly per-turn, so the
+core gate is stateless; ``streaming_conversation_state`` adds the custom
+STATEFUL operator a transcript pipeline needs on top (per-conversation
+accumulation across micro-batches with an idle timeout), via
+``applyInPandasWithState``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..operators.pipeline import quality_filter
 
@@ -40,6 +50,88 @@ def streaming_quality_filter(stream: DataFrame, **pipeline_kwargs) -> DataFrame:
     streaming micro-batches already parallelize by source file splits)."""
     pipeline_kwargs.setdefault("salt_partitions", None)
     return quality_filter(stream, **pipeline_kwargs)
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def streaming_conversation_state(
+    out: DataFrame, watermark: str = "20 minutes", idle_timeout_ms: int = 600_000
+) -> DataFrame:
+    """Custom stateful operator: per-conversation accumulation across
+    micro-batches via ``applyInPandasWithState``.
+
+    Accumulates (turns seen, turns kept, first/last event time) per
+    ``conv_id``; when a conversation goes idle past ``idle_timeout_ms`` of
+    event time (watermark-driven timeout), its summary row is emitted and
+    the state is dropped. This is the canonical stateful shape for
+    transcript streams — conversation-complete detection — which the
+    per-turn gate itself never needs.
+
+    Scale note: state is keyed on ``conv_id`` (the stream's natural
+    partitioning); each key holds 4 counters, so the state store stays
+    O(active conversations), not O(turns).
+    """
+    import datetime as _dt
+
+    import pandas as pd
+
+    def _update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n_turns, n_kept, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_kept": [n_kept],
+                    "first_ts": [_dt.datetime.fromtimestamp(first_us / 1e6, _dt.timezone.utc)],
+                    "last_ts": [_dt.datetime.fromtimestamp(last_us / 1e6, _dt.timezone.utc)],
+                }
+            )
+            return
+        n_turns, n_kept, first_us, last_us = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdf_iter:
+            n_turns += len(pdf)
+            n_kept += int(pdf["keep"].fillna(False).sum())
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            lo, hi = min(ts_us), max(ts_us)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n_turns, n_kept, first_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + idle_timeout_ms)
+        return
+        yield  # pragma: no cover - generator shape
+
+    return (
+        out.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def streaming_metrics(

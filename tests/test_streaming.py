@@ -68,3 +68,53 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     assert total >= spark.read.parquet(src_dir).count()  # update mode may re-emit
     reasons = {r.drop_reason for r in rows}
     assert "none" in reasons and "too_short" in reasons
+
+
+def test_streaming_conversation_state(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a conversation idle past the
+    event-time timeout is emitted once with its accumulated counters."""
+    import datetime as dt
+
+    from openccnet_spark.streaming import streaming_conversation_state
+
+    src_dir = str(tmp_path / "src3")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(conv, n, start_min, kept_mask):
+        rows = [
+            (conv, i, bool(kept_mask[i]), base + dt.timedelta(minutes=start_min, seconds=30 * i))
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, keep boolean, ts timestamp"
+        ).repartition(1).write.mode("append").parquet(src_dir)
+
+    write_batch("a", 3, 0, [True, False, True])
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, keep boolean, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sessions = streaming_conversation_state(
+        stream, watermark="0 seconds", idle_timeout_ms=60_000
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("conv_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b", 2, 60, [True, True])   # advances watermark past a's timeout
+        q.processAllAvailable()
+        write_batch("c", 1, 120, [True])        # triggers a's timeout evaluation
+        q.processAllAvailable()
+        rows = {r.conv_id: r for r in spark.sql("select * from conv_sessions").collect()}
+    finally:
+        q.stop()
+    assert "a" in rows, f"expected conversation a emitted, got {list(rows)}"
+    a = rows["a"]
+    assert a.n_turns == 3 and a.n_kept == 2
+    assert a.first_ts.replace(tzinfo=None) == base
+    assert a.last_ts.replace(tzinfo=None) == base + dt.timedelta(seconds=60)
