@@ -455,6 +455,15 @@ def _q_textfiles_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) approximate top-5 — the second scale
+    path beside the LSH buckets. Deterministic seeded-sample centroids, so
+    the oracle rebuilds the identical index in DuckDB and value-matches."""
+    from openccnet_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, fingerprint over documents."""
     from openccnet_spark.operators import textstats as T
@@ -735,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _armed(_q_dedup_embedding),
         "similarity_topk": _armed(_q_similarity_topk),
         "similarity_ann": _armed(_q_similarity_ann),
+        "similarity_ivf": _armed(_q_similarity_ivf),
         "textstats": _armed(_q_textstats),
         "multimodal_features": _armed(_q_multimodal_features),
         "st_ts_goldens": _armed(_q_st_ts),
@@ -1025,6 +1035,7 @@ FROM d GROUP BY text
         ),
         "dedup_simhash": _dedup_simhash_oracle(),
         "similarity_ann": _similarity_ann_oracle(),
+        "similarity_ivf": _similarity_ivf_oracle(),
     }
 
 
@@ -1149,6 +1160,65 @@ WITH b AS (
          q.embedding AS qv, c.embedding AS nv
   FROM b q JOIN b c ON q.vec_id <> c.vec_id
   WHERE q.vec_id IN (0, 1, 2, 3, 4) AND ({bucket_match})
+), s AS (
+  SELECT query_id, neighbor_id, floor({cos} * 1000)::BIGINT AS cos_milli FROM cand
+), r AS (
+  SELECT query_id, neighbor_id, cos_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_milli DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+
+def _similarity_ivf_oracle() -> str:
+    """Rebuild the IVF index in DuckDB: the centroids are recomputed from
+    the same sorted parquet sample with the same numpy code (bit-identical
+    float64), each per-centroid dot is the same left-to-right fold, and
+    cluster/probe selection uses the same first-max / fewer-than-nprobe
+    rules — so candidates and the final top-k value-match."""
+    import duckdb
+    import numpy as np
+
+    from openccnet_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_NPROBE,
+        IVF_SAMPLE,
+        ivf_centroids,
+        sql_cosine,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT {IVF_SAMPLE}"
+    ).fetchall()
+    centroids = ivf_centroids(np.array([r[0] for r in rows], dtype=np.float64))
+
+    def dot(i: int) -> str:
+        terms = " + ".join(
+            f"embedding[{d + 1}]::DOUBLE * {float(centroids[i, d])!r}" for d in range(64)
+        )
+        return f"({terms})"
+
+    ds = ",\n         ".join(dot(i) for i in range(IVF_CLUSTERS))
+    cos = sql_cosine("qv", "nv")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_value({ds}) AS ds
+  FROM embeddings
+), t AS (
+  SELECT vec_id, embedding, ds, list_indexof(ds, list_max(ds)) AS cluster FROM b
+), q AS (
+  SELECT t.vec_id AS query_id, t.embedding AS qv, g.j AS cluster
+  FROM t, generate_series(1, {IVF_CLUSTERS}) AS g(j)
+  WHERE t.vec_id IN (0, 1, 2, 3, 4)
+    AND len(list_filter(t.ds, x -> x > t.ds[g.j])) < {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT q.query_id, q.qv, c.vec_id AS neighbor_id, c.embedding AS nv
+  FROM q JOIN t c ON q.cluster = c.cluster
+  WHERE q.query_id <> c.vec_id
 ), s AS (
   SELECT query_id, neighbor_id, floor({cos} * 1000)::BIGINT AS cos_milli FROM cand
 ), r AS (

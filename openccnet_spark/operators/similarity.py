@@ -160,6 +160,121 @@ def lsh_ann_topk(
     return _topk(scored, k)
 
 
+IVF_CLUSTERS = 16
+IVF_NPROBE = 2
+IVF_SAMPLE = 2048
+IVF_ITERS = 8
+
+
+def ivf_centroids(vectors: np.ndarray, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means centroids (float64, unit-norm).
+
+    Init = the first ``k`` sample vectors; fixed ``iters`` Lloyd rounds
+    with cosine assignment; an emptied cluster keeps its old centroid.
+    Fully deterministic given the (sorted) sample, so the driver-side
+    Spark path and the DuckDB-oracle builder derive IDENTICAL centroids
+    from the same parquet and the literals in both plans match.
+    """
+    x = np.asarray(vectors, dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = xn[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(k):
+            members = xn[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    c[j] = m / norm
+    return c
+
+
+def _ivf_dots_col(vec_col, centroids: np.ndarray):
+    """array<double> of the query/corpus vector's dot with each centroid —
+    the same left-to-right float64 fold as ``_dot`` so the DuckDB oracle
+    reproduces every value bit-for-bit."""
+    cols = []
+    for row in centroids:
+        coeffs = F.array(*[F.lit(float(v)) for v in row])
+        cols.append(
+            F.aggregate(
+                F.zip_with(vec_col, coeffs, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return F.array(*cols)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    sample: int = IVF_SAMPLE,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    k-means centroid (the inverted file); each query probes its ``nprobe``
+    best clusters and re-ranks exactly within them.
+
+    Scale shape: the centroid sample is a BOUNDED driver collect
+    (``sample`` rows, sorted by id — deterministic); cluster assignment is
+    a JVM expression over broadcast centroid literals; the candidate join
+    is an equi-join on cluster id, so only (cluster, id, vector-of-
+    candidates) shuffles — never the N x Q product. Cluster membership
+    counts are data-dependent; probing more clusters trades cost for
+    recall like any IVF index.
+
+    Cluster id = 1-based position of the max dot (first occurrence on
+    ties) — the same rule the oracle's ``list_indexof(ds, list_max(ds))``
+    applies. A query's probe set = every cluster j whose dot is exceeded
+    by fewer than ``nprobe`` other clusters (identical floats => identical
+    sets in both engines).
+    """
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    centroids = ivf_centroids(
+        np.array([r[1] for r in rows], dtype=np.float64), n_clusters
+    )
+    ds = _ivf_dots_col(F.col(vec_col), centroids)
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), ds.alias("ds")
+    ).withColumn("cluster", F.array_position(F.col("ds"), F.array_max("ds")))
+    corpus = tagged.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
+    )
+    probes = F.filter(
+        F.sequence(F.lit(1), F.lit(n_clusters)),
+        lambda j: F.size(
+            F.filter(F.col("ds"), lambda x: x > F.element_at(F.col("ds"), j))
+        )
+        < nprobe,
+    )
+    queries = (
+        tagged.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probes).alias("cluster"),
+        )
+    )
+    cand = (
+        queries.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long")
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold_milli: int = 990,

@@ -136,3 +136,26 @@ def test_multimodal_plumbing(spark, docs):
         assert r.mode == "stub"
     frames = multimodal.frame_sample_plan(payloads)
     assert frames.count() > docs.count()  # exploded frame indexes
+
+
+def test_ivf_finds_planted_neighbors(spark, embs):
+    """IVF's contract mirrors LSH-ANN: an exact copy lands in the same
+    k-means cell (identical vector -> identical cluster), so top-1 must be
+    the planted duplicate with cos == 1.0."""
+    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    approx = similarity.ivf_topk(doubled, query_ids=[0, 1, 2, 3, 4], k=1).collect()
+    top = {r.query_id: (r.neighbor_id, r.cos_milli) for r in approx}
+    for q in [0, 1, 2, 3, 4]:
+        assert top[q] == (q + 100000, 1000), top
+
+
+def test_ivf_centroids_deterministic():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 64))
+    a = similarity.ivf_centroids(x.copy())
+    b = similarity.ivf_centroids(x.copy())
+    assert (a == b).all()
+    # unit-norm centroids
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
