@@ -264,10 +264,15 @@ class Converter:
 
     # --- O12: CJK compatibility ideograph normalization ---
 
+    #: compat-block gate as a compiled regex — a C-speed scan (a Python
+    #: any(ord(c) ...) generator here measured 54% of the whole fused
+    #: pipeline batch; this search is ~100x cheaper)
+    _COMPAT_RE = re.compile("[\uf900-\ufaff\U0002f800-\U0002fa1f]")
+
     def normalize_compat(self, text: str) -> str:
         if not text:
             return ""
-        if not any(0xF900 <= ord(c) <= 0xFAFF or 0x2F800 <= ord(c) <= 0x2FA1F for c in text):
+        if self._COMPAT_RE.search(text) is None:
             return text
         return text.translate(self.bundle.compat_table)
 
