@@ -196,28 +196,45 @@ class Converter:
     ``strict=True`` an unknown config raises instead.
     """
 
-    def __init__(self, bundle: DictionaryBundle | None = None, strict: bool = False):
+    def __init__(
+        self,
+        bundle: DictionaryBundle | None = None,
+        strict: bool = False,
+        config: str | None = None,
+    ):
         self.bundle = bundle or load_bundle()
         self.strict = strict
         self.last_error: str | None = None
+        # instance-held config, like `new Opencc("s2t")` (Opencc.cs:598-632):
+        # an invalid name falls back to s2t and records the error now
+        self.config = "s2t"
+        if config is not None:
+            self.config = self._resolve_config(config)
+
+    def _resolve_config(self, config: str) -> str:
+        if config in CONFIGS:
+            self.last_error = None
+            return config
+        if self.strict:
+            raise ValueError(f"invalid conversion config: {config!r}")
+        self.last_error = (
+            f'Invalid config provided: "{config}". Using default \'s2t\'.'
+        )
+        return "s2t"
 
     def convert(
         self,
         text: str,
-        config: str = "s2t",
+        config: str | None = None,
         punct: bool = False,
         preserve_ids: bool = False,
     ) -> str:
-        """O1/O2/O3: resolve plan, apply rounds sequentially."""
-        if config not in CONFIGS:
-            if self.strict:
-                raise ValueError(f"invalid conversion config: {config!r}")
-            self.last_error = (
-                f'Invalid config provided: "{config}". Using default \'s2t\'.'
-            )
-            config = "s2t"
-        else:
-            self.last_error = None
+        """O1/O2/O3: resolve plan, apply rounds sequentially.
+
+        ``config=None`` uses the instance config (reference
+        ``Opencc.Convert`` dispatching on the instance's ``_configId``,
+        Opencc.cs:2087-2148)."""
+        config = self.config if config is None else self._resolve_config(config)
         if not text:
             return ""
         plan = get_plan(self.bundle, config, punct)
@@ -237,7 +254,7 @@ class Converter:
     def convert_many(
         self,
         texts: list,
-        config: str = "s2t",
+        config: str | None = None,
         punct: bool = False,
         preserve_ids: bool = False,
     ) -> list:
@@ -258,15 +275,7 @@ class Converter:
         """
         if not texts:
             return []
-        if config not in CONFIGS:
-            if self.strict:
-                raise ValueError(f"invalid conversion config: {config!r}")
-            self.last_error = (
-                f'Invalid config provided: "{config}". Using default \'s2t\'.'
-            )
-            config = "s2t"
-        else:
-            self.last_error = None
+        config = self.config if config is None else self._resolve_config(config)
         if preserve_ids:
             return [self.convert(t, config, punct, True) for t in texts]
         mega = self._SEP.join(texts)

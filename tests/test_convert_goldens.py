@@ -198,3 +198,17 @@ def test_zho_check_utf16_sampling_boundary():
     assert CC.zho_check("a" * 498 + "\U0002b74f" + "汉" * 50) == 0
     # Simplified content inside the window is detected
     assert CC.zho_check("a" * 490 + "汉字" + "a" * 100) == 2
+
+
+def test_instance_config_like_reference():
+    """`Converter(config=...)` mirrors `new Opencc("s2t")`: the instance
+    holds the config, convert() without an argument uses it, an invalid
+    name records the error at construction and falls back to s2t."""
+    from openccnet_spark.convert import Converter
+
+    assert Converter(config="t2s").convert("繁體轉簡") == "繁体转简"
+    bad = Converter(config="invalid_config")
+    assert bad.convert("测试") == "測試"
+    assert "invalid_config" in bad.get_last_error()
+    # per-call config still overrides the instance one
+    assert Converter(config="t2s").convert("软件", "s2twp") == "軟體"
