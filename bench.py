@@ -211,6 +211,7 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - env-specific
             print(f"local-cluster unavailable ({exc}); thread-mode fallback", file=sys.stderr)
             scale_low = scale_high_exec = None
+            ctrl_times = {}  # partial 4/16-core controls would mis-key the 8/32 thread pair
             try:
                 spark.stop()
             except Exception:

@@ -125,7 +125,6 @@ def _cmd_pdf(args: argparse.Namespace) -> int:
         add_page_header=args.header,
         reflow=args.reflow,
         compact=args.compact,
-        norm_compat=args.norm_compat,
         converter=cc,
     )
     output = args.output or str(Path(args.input).with_suffix(".txt"))
@@ -182,7 +181,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--reflow", "-r", action="store_true", help="reflow CJK paragraphs")
     d.add_argument("--compact", "-C", action="store_true", help="compact reflow")
     d.add_argument("--extract", "-e", action="store_true", help="extract only, no conversion")
-    d.add_argument("--norm-compat", "-n", action="store_true")
+    d.add_argument("--norm-compat", "-n", action="store_true",
+                   help="accepted for reference-CLI parity; extraction "
+                        "always compat-normalizes (idempotent)")
     d.set_defaults(fn=_cmd_pdf)
 
     g = sub.add_parser("dictgen", help="compile the dictionary bundle (tools/dictgen.py)")

@@ -256,23 +256,39 @@ def detofu_udf(level: int = 0, custom_text: str | None = None, custom_pairs: dic
     custom data travels in the UDF closure — executors never read files.
     """
 
+    frozen_pairs = tuple(sorted(custom_pairs.items())) if custom_pairs else None
+
     @F.pandas_udf(StringType())
     def _detofu(s: pd.Series) -> pd.Series:
         cc = _worker_converter()
-        if custom_text is None and custom_pairs is None:
+        if custom_text is None and frozen_pairs is None:
             fn = lambda t: cc.detofu(t, level)  # noqa: E731
         else:
-            from ..detofu import DeTofuMap
-
-            m = DeTofuMap.builtin(cc.bundle, level)
-            if custom_text:
-                m.with_custom_text(custom_text)
-            if custom_pairs:
-                m.with_custom_pairs(custom_pairs)
-            fn = m.convert
+            fn = _worker_detofu_map(cc, level, custom_text, frozen_pairs).convert
         return s.map(lambda t: fn(t) if t is not None else None)
 
     return _detofu
+
+
+_DETOFU_MAPS: dict = {}
+
+
+def _worker_detofu_map(cc, level: int, custom_text, frozen_pairs):
+    """Per-worker cache of customized DeTofu maps — the builtin-table copy
+    and custom-entry parse happen once per (level, customs), not once per
+    Arrow batch."""
+    key = (level, custom_text, frozen_pairs)
+    m = _DETOFU_MAPS.get(key)
+    if m is None:
+        from ..detofu import DeTofuMap
+
+        m = DeTofuMap.builtin(cc.bundle, level)
+        if custom_text:
+            m.with_custom_text(custom_text)
+        if frozen_pairs:
+            m.with_custom_pairs(frozen_pairs)
+        _DETOFU_MAPS[key] = m
+    return m
 
 
 def register_sql_functions(spark, prefix: str = "cc_") -> list:

@@ -238,9 +238,15 @@ def ivf_topk(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     )
+    if not rows:
+        raise ValueError("ivf_topk: input has no vectors to sample centroids from")
     centroids = ivf_centroids(
         np.array([r[1] for r in rows], dtype=np.float64), n_clusters
     )
+    # fewer sample rows than requested clusters -> fewer centroids; probe
+    # indices must match or element_at past the end throws under ANSI mode
+    n_clusters = centroids.shape[0]
+    nprobe = min(nprobe, n_clusters)
     ds = _ivf_dots_col(F.col(vec_col), centroids)
     tagged = df.select(
         F.col(id_col), F.col(vec_col), ds.alias("ds")

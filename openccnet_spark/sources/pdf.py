@@ -237,6 +237,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}  # raw (still encoded) stream data
+        self._cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
         self._scan_objects()
         self._expand_object_streams()
 
@@ -277,6 +278,15 @@ class PdfDocument:
             v = self.objects.get(v.num)
             seen += 1
         return v
+
+    def tounicode(self, num: int) -> tuple[dict[int, str], int] | None:
+        """Parsed ToUnicode CMap of stream object ``num``, cached per
+        document — shared fonts would otherwise rebuild a potentially
+        65k-entry table once per page."""
+        if num not in self._cmap_cache:
+            data = self.stream_bytes(num)
+            self._cmap_cache[num] = parse_tounicode(data) if data else None
+        return self._cmap_cache[num]
 
     def stream_bytes(self, num: int) -> bytes:
         """Decoded stream content of object `num` ('' if undecodable)."""
@@ -397,13 +407,20 @@ def parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
                 break
             hi = int(m2.group(1), 16)
             # destination: either <hex> or [ <hex> <hex> ... ]
-            after = block[m2.end() :].lstrip()
-            if after.startswith(b"["):
-                close = after.find(b"]")
-                dsts = _HEX_RE.findall(after[:close])
+            rest = block[m2.end() :]
+            stripped = rest.lstrip()
+            if stripped.startswith(b"["):
+                # indices computed in BLOCK coordinates — an lstripped-
+                # offset bug here silently dropped every range after an
+                # indented [..] destination array
+                lbracket = m2.end() + (len(rest) - len(stripped))
+                rbracket = block.find(b"]", lbracket)
+                if rbracket < 0:
+                    break
+                dsts = _HEX_RE.findall(block[lbracket:rbracket])
                 for k, dst in enumerate(dsts):
                     table[lo + k] = utf16(dst)
-                pos = m2.end() + close + 1
+                pos = rbracket + 1
             else:
                 m3 = _HEX_RE.search(block, m2.end())
                 if not m3:
@@ -450,9 +467,7 @@ def _page_text(doc: PdfDocument, page: dict) -> str:
             if isinstance(fobj, dict):
                 tu = fobj.get("ToUnicode")
                 if isinstance(tu, Ref):
-                    data = doc.stream_bytes(tu.num)
-                    if data:
-                        cmap = parse_tounicode(data)
+                    cmap = doc.tounicode(tu.num)
             fonts[str(fname)] = cmap
     # content
     contents = page.get("Contents")
@@ -548,20 +563,21 @@ def pdf_to_text(
     add_page_header: bool = False,
     reflow: bool = False,
     compact: bool = False,
-    norm_compat: bool = False,
     converter: Converter | None = None,
 ) -> str:
     """The reference's full pdf-command pipeline over one PDF byte blob
-    (``PdfCommand.cs:211-247``): extract -> NormalizeCompat -> optional
-    reflow -> optional conversion. ``config=None`` = extract-only."""
+    (``PdfCommand.cs:211-247``): extract -> NormalizeCompat (always, like
+    the reference's unconditional NormalizeUnicodeCompatibility pass) ->
+    optional reflow -> optional conversion. ``config=None`` =
+    extract-only. (The reference's --norm-compat flag re-normalizes before
+    conversion; normalization is idempotent, so that second pass can never
+    change anything and is not reproduced.)"""
     cc = converter or default_converter()
     text = extract_pdf_text(data, add_page_header)
     text = cc.normalize_compat(text)
     if reflow:
         text = reflow_cjk_paragraphs(text, add_pdf_page_header=add_page_header, compact=compact)
     if config is not None:
-        if norm_compat:
-            text = cc.normalize_compat(text)
         text = cc.convert(text, config, punct)
     return text
 

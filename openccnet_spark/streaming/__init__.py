@@ -92,6 +92,13 @@ def streaming_conversation_state(
 
     import pandas as pd
 
+    _EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def _from_us(us: int) -> _dt.datetime:
+        # exact integer arithmetic — fromtimestamp(us / 1e6) can round the
+        # accumulated microseconds through the float division
+        return _EPOCH + _dt.timedelta(microseconds=int(us))
+
     def _update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             n_turns, n_kept, first_us, last_us = state.get
@@ -101,8 +108,8 @@ def streaming_conversation_state(
                     "conv_id": [key[0]],
                     "n_turns": [n_turns],
                     "n_kept": [n_kept],
-                    "first_ts": [_dt.datetime.fromtimestamp(first_us / 1e6, _dt.timezone.utc)],
-                    "last_ts": [_dt.datetime.fromtimestamp(last_us / 1e6, _dt.timezone.utc)],
+                    "first_ts": [_from_us(first_us)],
+                    "last_ts": [_from_us(last_us)],
                 }
             )
             return

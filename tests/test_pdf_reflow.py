@@ -125,3 +125,22 @@ def test_punct_helpers():
     assert ends_with_sentence_boundary("他说完了。")
     assert ends_with_sentence_boundary("他问：“好吗？”")  # closer after strong end
     assert not ends_with_sentence_boundary("他说，")
+
+
+def test_tounicode_bfrange_with_indented_array_destination():
+    """Regression: an lstripped-offset bug dropped every bfrange after an
+    indented [..] destination array (code-review finding, round 2)."""
+    from openccnet_spark.sources.pdf import parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0001> <0002>\n        [<4E00> <4E8C>]\n"
+        b"<0010> <0012> <5B66>\n"
+        b"endbfrange"
+    )
+    table, width = parse_tounicode(cmap)
+    assert width == 2
+    assert table[0x0001] == "一" and table[0x0002] == "二"
+    # the range AFTER the array destination must survive
+    assert table[0x0010] == "学" and table[0x0012] == "孨"

@@ -159,3 +159,17 @@ def test_ivf_centroids_deterministic():
     assert (a == b).all()
     # unit-norm centroids
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ivf_small_corpus(spark):
+    """Fewer vectors than n_clusters must degrade to fewer cells, not throw
+    under ANSI element_at (code-review finding, round 2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(df, query_ids=[0, 1], k=2, n_clusters=16, sample=64)
+    got = out.collect()
+    assert {r.query_id for r in got} <= {0, 1}
+    assert all(r.rank <= 2 for r in got)
