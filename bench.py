@@ -188,7 +188,7 @@ def main() -> int:
         ctrl_times: dict[int, list[float]] = {}
         try:
             exec_times: dict[int, list[float]] = {n_exec_low: [], n_exec_high: []}
-            for _rep in range(2):
+            for _rep in range(3):
                 for n_exec in (n_exec_low, n_exec_high):
                     spark = _session(
                         f"local-cluster[{n_exec},{cores_per_exec},6144]",
@@ -275,9 +275,17 @@ def main() -> int:
         workload_ctrl = t[cores_low] / t[cores_high]
     thr_low = n_turns_big / scale_low
     thr_high = n_turns_big / scale_high_exec
-    # one pure N->4N pair of the SAME job on the SAME input (best-of-2 per
+    # one pure N->4N pair of the SAME job on the SAME input (best-of per
     # side, interleaved); this IS the headline scaling number
     efficiency = (thr_high / thr_low) / (cores_high / cores_low)
+    # external-tenant-noise self-check: on THIS protocol a sane run has the
+    # silicon control near 1 and the workload control below 1; a collapsed
+    # silicon control, an impossible >1 workload control, or 4N measuring
+    # slower than N all mean other tenants ran during a phase — the
+    # efficiency number from such a run measures their load, not Spark
+    host_noise_suspect = (
+        hw_eff < 0.6 or workload_ctrl > 1.0 or thr_high < thr_low
+    )
     print(
         json.dumps(
             {
@@ -313,6 +321,7 @@ def main() -> int:
                 "scaling_efficiency_vs_workload_control": round(
                     efficiency / workload_ctrl, 3
                 ),
+                "host_noise_suspect": host_noise_suspect,
             }
         )
     )
