@@ -144,3 +144,54 @@ def test_tounicode_bfrange_with_indented_array_destination():
     assert table[0x0001] == "一" and table[0x0002] == "二"
     # the range AFTER the array destination must survive
     assert table[0x0010] == "学" and table[0x0012] == "孨"
+
+
+# --- property-based fuzzing -----------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_CJK_LINE = st.text(
+    alphabet=st.sampled_from("他走在路上忽然看见一个熟悉的身影说道，。？！“”「」（）…的是了不在有人"),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_CJK_LINE, min_size=1, max_size=12))
+def test_reflow_preserves_content(lines):
+    """Reflow only RE-GROUPS lines — with no collapsible repeats and no
+    edge whitespace (guaranteed by the alphabet), the concatenation of all
+    output segments equals the concatenation of all input lines."""
+    text = "\n".join(lines)
+    out = reflow_cjk_paragraphs(text)
+    assert out.replace("\n", "") == text.replace("\n", "")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.sampled_from("汉字内容测试的了是不一ABC abz09，。"),
+                min_size=1,
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_pdf_build_extract_roundtrip(pages):
+    """Arbitrary BMP text through build_pdf -> extract_pdf_text comes back
+    line-exact (fuzzes the lexer, Flate, page tree and CMap decode)."""
+    pdf = build_pdf(pages, cjk=True)
+    out = extract_pdf_text(pdf)
+    expected = "".join(
+        ("\n".join(lines).strip("\r\n ") + "\n\n" if "\n".join(lines).strip("\r\n ") else "\n")
+        for lines in pages
+    )
+    assert out == expected
