@@ -432,6 +432,9 @@ _TEXTFILE_GOLDENS = [
 ]
 
 
+_TEXTFILES_QDIR: str | None = None
+
+
 def _q_textfiles_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-encoding text files decoded through the binaryFile + Arrow
     source; line numbers must be exact per file."""
@@ -440,11 +443,13 @@ def _q_textfiles_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from openccnet_spark.sources.textfiles import read_text_files
 
-    # deterministic fixture dir, reused across invocations (content is
-    # constant) — a fresh mkdtemp per call would leak temp dirs on every
-    # verification/bench loop
-    base = Path(_tf.gettempdir()) / "openccnet_textfiles_q"
-    base.mkdir(exist_ok=True)
+    # one private mkdtemp per PROCESS, cached and reused across
+    # invocations: no per-call leak, and no shared /tmp name that another
+    # process (or user) could race or squat
+    global _TEXTFILES_QDIR
+    if _TEXTFILES_QDIR is None:
+        _TEXTFILES_QDIR = _tf.mkdtemp(prefix="openccnet_textfiles_q_")
+    base = Path(_TEXTFILES_QDIR)
     frames = []
     for i, enc, lines in _TEXTFILE_GOLDENS:
         p = base / f"case{i}.txt"
@@ -1054,8 +1059,15 @@ def _optional_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     try:
         out["similarity_ivf"] = _similarity_ivf_oracle()
-    except Exception:  # pragma: no cover - environment-specific
-        pass
+    except (OSError, ImportError) as exc:  # pragma: no cover - env-specific
+        # only the expected I/O-class failures are tolerated; a genuine
+        # builder bug must surface, not silently demote the check
+        print(f"similarity_ivf oracle unavailable: {exc}", file=sys.stderr)
+    except Exception as exc:
+        if type(exc).__module__.startswith("duckdb"):
+            print(f"similarity_ivf oracle unavailable: {exc}", file=sys.stderr)
+        else:
+            raise
     return out
 
 

@@ -256,7 +256,9 @@ def detofu_udf(level: int = 0, custom_text: str | None = None, custom_pairs: dic
     custom data travels in the UDF closure — executors never read files.
     """
 
-    frozen_pairs = tuple(sorted(custom_pairs.items())) if custom_pairs else None
+    # order-preserving freeze: later-wins semantics must match the dict's
+    # insertion order (sorting would silently change collision winners)
+    frozen_pairs = tuple(custom_pairs.items()) if custom_pairs else None
 
     @F.pandas_udf(StringType())
     def _detofu(s: pd.Series) -> pd.Series:
@@ -277,7 +279,9 @@ def _worker_detofu_map(cc, level: int, custom_text, frozen_pairs):
     """Per-worker cache of customized DeTofu maps — the builtin-table copy
     and custom-entry parse happen once per (level, customs), not once per
     Arrow batch."""
-    key = (level, custom_text, frozen_pairs)
+    # bundle identity is part of the key: a custom-dictionary Converter
+    # must never reuse a map built from another bundle
+    key = (id(cc.bundle), level, custom_text, frozen_pairs)
     m = _DETOFU_MAPS.get(key)
     if m is None:
         from ..detofu import DeTofuMap

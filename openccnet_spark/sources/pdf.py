@@ -265,12 +265,18 @@ class PdfDocument:
                 if isinstance(length, int) and d[start + length : start + length + 20].lstrip().startswith(
                     b"endstream"
                 ):
-                    end = start + length
+                    # /Length matched exactly: the payload boundary is
+                    # authoritative — stripping here would eat compressed
+                    # bytes that happen to end in \r/\n (~1/64 of Flate
+                    # streams) and silently empty the page
+                    self.streams[num] = d[start : start + length]
                 else:
                     end = d.find(b"endstream", start)
                     if end < 0:
                         continue
-                self.streams[num] = d[start:end].rstrip(b"\r\n")
+                    # fallback boundary includes the EOL before the
+                    # endstream keyword; that EOL is not payload
+                    self.streams[num] = d[start:end].rstrip(b"\r\n")
 
     def resolve(self, v):
         seen = 0
