@@ -67,3 +67,19 @@ def test_split_ranges_tile_exactly(text):
 def test_preserve_ids_never_throws(text):
     out = CC.convert(text, "t2s", preserve_ids=True)
     assert isinstance(out, str)
+
+
+@given(st.lists(_text, max_size=10), st.integers(min_value=0, max_value=len(CONFIGS) - 1))
+@settings(max_examples=300)
+def test_convert_many_equals_per_text(texts, cfg_idx):
+    """The NUL-megastring batch path must be byte-identical to per-text
+    conversion on arbitrary unicode (incl. astral chars, NULs via the
+    fallback, and delimiter-dense text)."""
+    cfg = CONFIGS[cfg_idx]
+    assert CC.convert_many(texts, cfg) == [CC.convert(t, cfg) for t in texts]
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from("软\x00件资\x00讯"), max_size=8), max_size=5))
+@settings(max_examples=100)
+def test_convert_many_nul_inputs_fall_back(texts):
+    assert CC.convert_many(texts, "s2t") == [CC.convert(t, "s2t") for t in texts]
