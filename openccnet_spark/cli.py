@@ -188,20 +188,25 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = sub.add_parser("dictgen", help="compile the dictionary bundle (tools/dictgen.py)")
     g.add_argument("rest", nargs=argparse.REMAINDER)
-    g.set_defaults(fn=_cmd_dictgen)
+    g.set_defaults(fn=lambda a: _cmd_dictgen(a.rest))  # main() short-circuits first
     return ap
 
 
-def _cmd_dictgen(args: argparse.Namespace) -> int:
+def _cmd_dictgen(rest: list[str]) -> int:
     repo = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo / "tools"))
-    sys.argv = ["dictgen"] + list(args.rest)
+    sys.argv = ["dictgen"] + list(rest)
     import dictgen  # tools/dictgen.py
 
     return dictgen.main()
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["dictgen"]:
+        # pass everything through verbatim — argparse's REMAINDER rejects
+        # leading options like `dictgen --out ...`
+        return _cmd_dictgen(argv[1:])
     args = build_parser().parse_args(argv)
     if args.cmd == "pdf" and not args.extract and not args.config:
         raise SystemExit("--config is required unless --extract is used")
