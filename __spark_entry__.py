@@ -255,7 +255,7 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at the configured banding."""
     from openccnet_spark.operators.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_mutant_docs(spark, sf_dir))
+    return minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True)
 
 
 def _q_dedup_exact_prehash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +281,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a full value-checked query."""
     from openccnet_spark.operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_mutant_docs(spark, sf_dir))
+    return simhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True)
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

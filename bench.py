@@ -257,7 +257,10 @@ def main() -> int:
         for name in (
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
-            "dedup_exact", "similarity_topk", "textstats",
+            "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
+            "dedup_simhash", "similarity_topk", "similarity_ann",
+            "similarity_ivf", "textstats", "pdf_reflow_convert",
+            "office_convert",
         ):
             queries[name] = round(_run_to_noop(q[name](spark, SF_DIR)), 3)
         spark.stop()
