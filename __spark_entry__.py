@@ -293,6 +293,17 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(doubled, threshold_milli=990)
 
 
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups via the LSH bucket join (the 100 TB path) —
+    must equal the brute-force cross join's output on this corpus (recall
+    at cos>=0.99 is ~1-1.5e-6 per pair), so it shares its oracle."""
+    from openccnet_spark.operators.similarity import lsh_near_duplicates
+
+    embs = _read(spark, sf_dir, "embeddings")
+    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    return lsh_near_duplicates(doubled, threshold_milli=990)
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors 0..4."""
     from openccnet_spark.operators.similarity import cosine_topk
@@ -754,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
         "dedup_simhash": _armed(_q_dedup_simhash),
         "dedup_embedding": _armed(_q_dedup_embedding),
+        "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
         "similarity_topk": _armed(_q_similarity_topk),
         "similarity_ann": _armed(_q_similarity_ann),
         "similarity_ivf": _armed(_q_similarity_ivf),
@@ -919,6 +931,7 @@ FROM d GROUP BY text
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
+        "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
         "textstats": _textstats_oracle(),
         "multimodal_features": """

@@ -302,6 +302,42 @@ def embedding_near_duplicates(
     )
 
 
+def lsh_near_duplicates(
+    df: DataFrame,
+    threshold_milli: int = 990,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH buckets — the 100 TB
+    form of ``embedding_near_duplicates``: candidates come from the bucket
+    equi-join (only (bucket, id, vector) shuffles) instead of the O(n^2)
+    cross join; the exact-cosine verification is identical.
+
+    Recall at ``threshold_milli=990`` (angle <= ~8.1 deg): a random
+    hyperplane separates such a pair with p ~= 0.026, so missing all
+    ``N_TABLES`` 8-bit buckets has probability ~(1 - 0.974^8)^8 ~= 1.5e-6
+    — effectively total, which is why this can share the brute-force
+    oracle on the test corpus.
+    """
+    planes = _hyperplanes(dim)
+    buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
+    tagged = df.select(F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket"))
+    a = tagged.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = tagged.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "va", "b", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos_milli", F.floor(cosine_col("va", "vb") * 1000).cast("long"))
+        .filter(F.col("cos_milli") >= threshold_milli)
+        .select("a", "b", "cos_milli")
+    )
+
+
 def sql_dot(a: str, b: str, dim: int = 64) -> str:
     """The identical left-to-right fold as DuckDB SQL (oracle side)."""
     terms = " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))

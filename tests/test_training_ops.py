@@ -173,3 +173,12 @@ def test_ivf_small_corpus(spark):
     got = out.collect()
     assert {r.query_id for r in got} <= {0, 1}
     assert all(r.rank <= 2 for r in got)
+
+
+def test_lsh_near_duplicates_matches_bruteforce(spark, embs):
+    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    brute = {(r.a, r.b, r.cos_milli) for r in
+             similarity.embedding_near_duplicates(doubled, threshold_milli=990).collect()}
+    lsh = {(r.a, r.b, r.cos_milli) for r in
+           similarity.lsh_near_duplicates(doubled, threshold_milli=990).collect()}
+    assert lsh == brute and len(brute) == embs.count()
