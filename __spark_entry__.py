@@ -284,13 +284,19 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True)
 
 
+def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted exact copies (+100000 ids) — the corpus BOTH
+    embedding near-dup queries and their shared oracle assume; change the
+    planting here and in _dedup_embedding_oracle together."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings + planted copies."""
     from openccnet_spark.operators.similarity import embedding_near_duplicates
 
-    embs = _read(spark, sf_dir, "embeddings")
-    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
-    return embedding_near_duplicates(doubled, threshold_milli=990)
+    return embedding_near_duplicates(_doubled_embeddings(spark, sf_dir), threshold_milli=990)
 
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,9 +305,7 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cos>=0.99 is ~1-1.5e-6 per pair), so it shares its oracle."""
     from openccnet_spark.operators.similarity import lsh_near_duplicates
 
-    embs = _read(spark, sf_dir, "embeddings")
-    doubled = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
-    return lsh_near_duplicates(doubled, threshold_milli=990)
+    return lsh_near_duplicates(_doubled_embeddings(spark, sf_dir), threshold_milli=990)
 
 
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

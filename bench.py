@@ -258,7 +258,7 @@ def main() -> int:
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
             "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
-            "dedup_simhash", "similarity_topk", "similarity_ann",
+            "dedup_simhash", "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
             "similarity_ivf", "textstats", "pdf_reflow_convert",
             "office_convert",
         ):

@@ -164,15 +164,21 @@ def lsh_candidate_pairs(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
     ).filter(F.col("bucket_n") <= MAX_BUCKET)
     if persist:
+        # cache lives until the caller unpersists (handle exposed on the
+        # result as ._persisted_signatures) or the session ends; footprint
+        # is (band_key, id) rows only — a few MB per million docs
         sized = sized.persist()
     a = sized.select(F.col("band_key"), F.col(id_col).alias("a"))
     b = sized.select(F.col("band_key"), F.col(id_col).alias("b"))
-    return (
+    out = (
         a.join(b, "band_key")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    if persist:
+        out._persisted_signatures = sized  # unpersist handle for callers
+    return out
 
 
 def minhash_near_duplicates(
@@ -312,7 +318,7 @@ def simhash_near_duplicates(
     """
     sh = simhash_signatures(df, text_col, id_col)
     if persist:
-        sh = sh.persist()
+        sh = sh.persist()  # handle exposed on the result (see below)
     bands = F.array(
         *[
             F.concat_ws(
@@ -329,10 +335,13 @@ def simhash_near_duplicates(
     a = buckets.select("band_key", F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = buckets.select("band_key", F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    return (
+    out = (
         a.join(b, "band_key")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if persist:
+        out._persisted_signatures = sh  # unpersist handle for callers
+    return out

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import MAX_BUCKET
+
 N_HYPERPLANES = 8
 N_TABLES = 8
 
@@ -323,8 +325,15 @@ def lsh_near_duplicates(
     planes = _hyperplanes(dim)
     buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
     tagged = df.select(F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket"))
-    a = tagged.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    b = tagged.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    # degenerate-bucket guard (same rationale as dedup.lsh_candidate_pairs
+    # MAX_BUCKET): a hot bucket — zero-norm or identical-direction vectors
+    # en masse — would otherwise re-create the O(n^2) join this operator
+    # exists to avoid
+    sized = tagged.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    a = sized.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = sized.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
