@@ -195,3 +195,33 @@ def test_keep_font_pptx_and_epub_patterns():
     out = convert_office_bytes(buf.getvalue(), "epub", "s2t", keep_font=True)
     page = zipfile.ZipFile(io.BytesIO(out)).read("OEBPS/ch1.xhtml").decode()
     assert "font-family: 宋体;" in page and "簡體章節" in page
+
+
+import os
+import pytest
+import re
+
+_REF_DOCX = "/root/reference/OpenccNetTests/滕王阁序.docx"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_DOCX), reason="reference fixture absent")
+def test_reference_real_docx_fixture_s2t_keepfont():
+    """The reference's OWN OfficeDocConverterTests fixture (a real Word
+    document) through our converter with the same arguments the reference
+    test uses (s2t, keepFont=True, OfficeDocConverterTests.cs:26-55):
+    output must be a valid docx whose body text converted and whose CJK
+    font names survived."""
+    data = open(_REF_DOCX, "rb").read()
+    out = convert_office_bytes(data, "docx", "s2t", keep_font=True)
+    zin = zipfile.ZipFile(io.BytesIO(data))
+    zout = zipfile.ZipFile(io.BytesIO(out))
+    assert zin.namelist() == zout.namelist()  # every part preserved, in order
+    doc = zout.read("word/document.xml").decode("utf-8")
+    assert doc.strip()
+    # title and body converted (滕王阁序 -> 滕王閣序; 衡庐 -> 衡廬)
+    assert "滕王閣序" in doc and "衡廬" in doc
+    assert "滕王阁序" not in doc
+    # CJK font names preserved by keep_font (楷体 must NOT become 楷體)
+    fonts = set(re.findall(r'w:eastAsia="([^"]+)"', doc))
+    assert "楷体" in fonts and "楷體" not in fonts
+    assert "__F_O_N_T_" not in doc
