@@ -7,8 +7,10 @@ PdfPig is a full managed PDF library; this module is a from-scratch minimal
 extractor for TEXT-BEARING PDFs, covering the structures that matter for a
 text corpus:
 
-* classic xref or no xref (objects found by scanning), FlateDecode streams,
-  object streams (``/Type /ObjStm``);
+* classic xref tables AND cross-reference streams (``/Type /XRef``, incl.
+  PNG-predictor-coded ones) walked via startxref + /Prev, with a full
+  object-scan fallback for damaged files; FlateDecode streams (with PNG/
+  TIFF /Predictor DecodeParms), object streams (``/Type /ObjStm``);
 * page order via the ``/Root -> /Pages -> /Kids`` tree (fallback: object
   order) — the reference's page iteration order;
 * text operators ``BT/ET Tf Td TD T* Tm Tj TJ ' "``, with newline emission
@@ -18,9 +20,8 @@ text corpus:
   CJK (Identity-H etc.); fonts without a CMap decode as Latin-1.
 
 Honest limits (documented, not hidden): no encrypted PDFs, no per-glyph
-positioning reconstruction, no predictor-coded xref streams, non-Flate
-filters skipped. Unsupported content degrades to skipped streams, never to
-exceptions.
+positioning reconstruction, non-Flate filters skipped. Unsupported content
+degrades to skipped streams, never to exceptions.
 
 Spark integration mirrors the office source: one ``binaryFile`` scan ->
 ``mapInPandas`` -> one row per page. PDFs parallelize by file; page payloads
@@ -190,8 +191,13 @@ class _Lexer:
 
     def _hex_string(self) -> bytes:
         end = self.data.find(b">", self.pos)
+        if end < 0:
+            # unterminated <hex string (truncated/corrupt PDF): consume to
+            # end-of-input — `end + 1` would be 0 and REWIND the lexer,
+            # turning every enclosing token loop into an infinite loop
+            end = len(self.data)
         raw = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos + 1 : end])
-        self.pos = end + 1
+        self.pos = min(end + 1, len(self.data))
         if len(raw) % 2:
             raw += b"0"
         return PdfString(bytes.fromhex(raw.decode("ascii")))
@@ -238,13 +244,39 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}  # raw (still encoded) stream data
         self._cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
-        self._scan_objects()
-        self._expand_object_streams()
+        loaded = False
+        try:
+            loaded = self._load_via_xref()
+        except Exception:
+            loaded = False
+        if loaded:
+            self._expand_object_streams()
+            if not self._has_catalog():
+                # xref chain parsed but didn't reach a usable document —
+                # reset and fall back to the exhaustive scan
+                loaded = False
+                self.objects.clear()
+                self.streams.clear()
+                self._cmap_cache.clear()
+        if not loaded:
+            self._scan_objects()
+            self._expand_object_streams()
+        #: True when the object table came from the xref table/stream path
+        #: (O(objects)) rather than the O(file) full scan fallback
+        self.xref_loaded = loaded
+
+    def _has_catalog(self) -> bool:
+        return any(
+            isinstance(o, dict) and str(o.get("Type", "")) == "Catalog"
+            for o in self.objects.values()
+        )
 
     # -- object table --
 
     def _scan_objects(self):
+        """Exhaustive fallback: regex-scan every `N G obj` in the file."""
         d = self.data
+        pending: list[tuple[int, dict, int]] = []
         for m in _OBJ_RE.finditer(d):
             num = int(m.group(1))
             body_start = m.end()
@@ -254,29 +286,191 @@ class PdfDocument:
             except Exception:
                 continue
             self.objects[num] = value
-            # stream payload?
+            # stream payload? sliced AFTER the full pass so an indirect
+            # /Length defined later in the file still resolves exactly
             rest = d[lex.pos : lex.pos + 32]
             sm = re.match(rb"\s*stream(\r\n|\n|\r)", rest)
             if sm and isinstance(value, dict):
-                start = lex.pos + sm.end()
-                length = value.get("Length")
-                if isinstance(length, Ref):
-                    length = self.objects.get(length.num)
-                if isinstance(length, int) and d[start + length : start + length + 20].lstrip().startswith(
-                    b"endstream"
-                ):
-                    # /Length matched exactly: the payload boundary is
-                    # authoritative — stripping here would eat compressed
-                    # bytes that happen to end in \r/\n (~1/64 of Flate
-                    # streams) and silently empty the page
-                    self.streams[num] = d[start : start + length]
-                else:
-                    end = d.find(b"endstream", start)
-                    if end < 0:
-                        continue
-                    # fallback boundary includes the EOL before the
-                    # endstream keyword; that EOL is not payload
-                    self.streams[num] = d[start:end].rstrip(b"\r\n")
+                pending.append((num, value, lex.pos + sm.end()))
+        self._slice_streams(pending)
+
+    def _slice_streams(self, pending: list[tuple[int, dict, int]]):
+        """Second pass: slice stream payloads once EVERY object (and thus
+        every indirect /Length value, even forward-referenced) is known."""
+        d = self.data
+        for num, value, start in pending:
+            length = value.get("Length")
+            if isinstance(length, Ref):
+                length = self.resolve(length)
+            if isinstance(length, int) and d[start + length : start + length + 20].lstrip().startswith(
+                b"endstream"
+            ):
+                # /Length matched exactly: the payload boundary is
+                # authoritative — stripping here would eat compressed
+                # bytes that happen to end in \r/\n (~1/64 of Flate
+                # streams) and silently empty the page
+                self.streams[num] = d[start : start + length]
+            else:
+                end = d.find(b"endstream", start)
+                if end < 0:
+                    continue
+                # fallback boundary includes the EOL before the
+                # endstream keyword; that EOL is not payload
+                self.streams[num] = d[start:end].rstrip(b"\r\n")
+
+    # -- xref table / xref stream loading (the O(objects) path) --
+
+    def _parse_object_at(self, pos: int, pending: list) -> None:
+        """Parse one `N G obj` at byte offset ``pos`` (first-loaded wins:
+        xref sections are walked newest-first, so an older /Prev section
+        never overrides a newer definition)."""
+        m = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj\b").match(self.data, pos)
+        if not m:
+            return
+        num = int(m.group(1))
+        if num in self.objects:
+            return
+        lex = _Lexer(self.data, m.end())
+        try:
+            value = lex.next_token()
+        except Exception:
+            return
+        self.objects[num] = value
+        rest = self.data[lex.pos : lex.pos + 32]
+        sm = re.match(rb"\s*stream(\r\n|\n|\r)", rest)
+        if sm and isinstance(value, dict):
+            pending.append((num, value, lex.pos + sm.end()))
+
+    def _load_via_xref(self) -> bool:
+        """Follow startxref -> xref table/stream (+ /Prev chain) to locate
+        objects directly instead of scanning the whole file. Returns False
+        (caller falls back to the scan) on any structural surprise."""
+        d = self.data
+        tail = d[-2048:]
+        last = None
+        for last in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if last is None:
+            return False
+        offset = int(last.group(1))
+        pending: list[tuple[int, dict, int]] = []
+        seen: set[int] = set()
+        if not self._load_xref_section(offset, pending, seen, depth=0):
+            return False
+        if not self.objects:
+            return False
+        self._slice_streams(pending)
+        return True
+
+    def _load_xref_section(self, offset: int, pending: list, seen: set, depth: int) -> bool:
+        d = self.data
+        if depth > 32 or offset in seen or not (0 <= offset < len(d)):
+            return False
+        seen.add(offset)
+        m = re.compile(rb"\s*xref\b").match(d, offset)
+        if m:
+            return self._load_xref_table(m.end(), pending, seen, depth)
+        return self._load_xref_stream(offset, pending, seen, depth)
+
+    def _load_xref_table(self, pos: int, pending: list, seen: set, depth: int) -> bool:
+        """Classic `xref` table: subsections of 20-byte entries + trailer."""
+        d = self.data
+        sub_re = re.compile(rb"\s*(\d+)\s+(\d+)[ ]*(\r\n|\r|\n)")
+        ent_re = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+        offsets: list[int] = []
+        while True:
+            m = sub_re.match(d, pos)
+            if not m:
+                break
+            start_num, count = int(m.group(1)), int(m.group(2))
+            pos = m.end()
+            for i in range(count):
+                em = ent_re.match(d, pos)
+                if not em:
+                    return False
+                if em.group(3) == b"n" and start_num + i != 0:
+                    offsets.append(int(em.group(1)))
+                pos = em.end()
+                # entries are fixed 20 bytes; tolerate 19-byte writers
+                while pos < len(d) and d[pos] in b"\r\n ":
+                    pos += 1
+        tm = re.compile(rb"\s*trailer\b").match(d, pos)
+        if not tm:
+            return False
+        trailer = _Lexer(d, tm.end()).next_token()
+        if not isinstance(trailer, dict):
+            return False
+        for off in offsets:
+            self._parse_object_at(off, pending)
+        prev = trailer.get("Prev")
+        if isinstance(prev, int):
+            self._load_xref_section(prev, pending, seen, depth + 1)
+        # hybrid-reference files: the classic table is authoritative for
+        # old readers, /XRefStm points at the stream with the newer entries
+        xrefstm = trailer.get("XRefStm")
+        if isinstance(xrefstm, int):
+            self._load_xref_section(xrefstm, pending, seen, depth + 1)
+        return True
+
+    def _load_xref_stream(self, offset: int, pending: list, seen: set, depth: int) -> bool:
+        """Cross-reference STREAM (PDF 1.5+): /Type /XRef, binary entries of
+        /W field widths, usually FlateDecode + PNG predictor 12."""
+        d = self.data
+        m = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj\b").match(d, offset)
+        if not m:
+            return False
+        num = int(m.group(1))
+        lex = _Lexer(d, m.end())
+        info = lex.next_token()
+        if not isinstance(info, dict) or str(info.get("Type", "")) != "XRef":
+            return False
+        sm = re.match(rb"\s*stream(\r\n|\n|\r)", d[lex.pos : lex.pos + 32])
+        length = info.get("Length")
+        if not sm or not isinstance(length, int):
+            # an xref stream's /Length must be direct (nothing is loaded
+            # yet to resolve a Ref through) — bail to the scan fallback
+            return False
+        start = lex.pos + sm.end()
+        self.objects.setdefault(num, info)
+        self.streams.setdefault(num, d[start : start + length])
+        payload = self.stream_bytes(num)
+        w = info.get("W")
+        size = info.get("Size")
+        if not payload or not (isinstance(w, list) and len(w) == 3) or not isinstance(size, int):
+            return False
+        w1, w2, w3 = (int(x) for x in w)
+        ent_len = w1 + w2 + w3
+        index = info.get("Index")
+        if not isinstance(index, list):
+            index = [0, size]
+        rows = len(payload) // ent_len if ent_len else 0
+        entries: list[tuple[int, int, int]] = []
+        p = 0
+        for r in range(rows):
+            f1 = int.from_bytes(payload[p : p + w1], "big") if w1 else 1
+            f2 = int.from_bytes(payload[p + w1 : p + w1 + w2], "big")
+            f3 = int.from_bytes(payload[p + w1 + w2 : p + ent_len], "big")
+            entries.append((f1, f2, f3))
+            p += ent_len
+        # map entry rows to object numbers via /Index pairs
+        row = 0
+        for i in range(0, len(index) - 1, 2):
+            start_num, count = int(index[i]), int(index[i + 1])
+            for k in range(count):
+                if row >= len(entries):
+                    break
+                typ, f2, _f3 = entries[row]
+                row += 1
+                onum = start_num + k
+                if typ == 1 and onum != 0:
+                    self._parse_object_at(f2, pending)
+                # typ == 2 (compressed): the object lives in ObjStm f2,
+                # which is itself a type-1 entry; _expand_object_streams
+                # unpacks it after loading
+        prev = info.get("Prev")
+        if isinstance(prev, int):
+            self._load_xref_section(prev, pending, seen, depth + 1)
+        return True
 
     def resolve(self, v):
         seen = 0
@@ -302,8 +496,10 @@ class PdfDocument:
             return b""
         filt = self.resolve(info.get("Filter"))
         filters = [filt] if not isinstance(filt, list) else list(filt)
+        parms = self.resolve(info.get("DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         out = raw
-        for f in filters:
+        for i, f in enumerate(filters):
             f = self.resolve(f)
             if f is None:
                 continue
@@ -312,9 +508,68 @@ class PdfDocument:
                     out = zlib.decompress(out)
                 except zlib.error:
                     return b""
+                p = self.resolve(parms_list[i]) if i < len(parms_list) else None
+                if isinstance(p, dict):
+                    out = self._unpredict(out, p)
             else:
                 return b""  # unsupported filter: skip stream honestly
         return out
+
+    def _unpredict(self, data: bytes, parms: dict) -> bytes:
+        """Undo a /Predictor post-filter (PDF 7.4.4.4). Predictors >= 10
+        are the PNG row filters — every modern xref stream uses 12 (Up),
+        but the per-ROW filter byte decides, so all five are handled."""
+        pred = self.resolve(parms.get("Predictor", 1))
+        if not isinstance(pred, int) or pred < 2:
+            return data
+        colors = self.resolve(parms.get("Colors", 1)) or 1
+        bpc = self.resolve(parms.get("BitsPerComponent", 8)) or 8
+        columns = self.resolve(parms.get("Columns", 1)) or 1
+        bpp = max((int(colors) * int(bpc) + 7) // 8, 1)
+        rowlen = (int(columns) * int(colors) * int(bpc) + 7) // 8
+        if pred == 2:  # TIFF horizontal differencing (8-bit components only)
+            if bpc != 8:
+                return data
+            row = bytearray(data)
+            for r in range(0, len(row), rowlen):
+                for j in range(r + bpp, min(r + rowlen, len(row))):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            return bytes(row)
+        # PNG predictors: each row is (filter_type byte + rowlen bytes)
+        out = bytearray()
+        prev = bytearray(rowlen)
+        i = 0
+        n = len(data)
+        while i < n:
+            ft = data[i]
+            row = bytearray(data[i + 1 : i + 1 + rowlen])
+            i += 1 + rowlen
+            if ft == 1:  # Sub
+                for j in range(bpp, len(row)):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for j in range(len(row)):
+                    row[j] = (row[j] + prev[j]) & 0xFF
+            elif ft == 3:  # Average
+                for j in range(len(row)):
+                    left = row[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for j in range(len(row)):
+                    a = row[j - bpp] if j >= bpp else 0
+                    b = prev[j]
+                    c = prev[j - bpp] if j >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    row[j] = (row[j] + pr) & 0xFF
+            out += row
+            prev = row
+        return bytes(out)
 
     def _expand_object_streams(self):
         for num, info in list(self.objects.items()):

@@ -40,13 +40,8 @@ def _tounicode_identity() -> bytes:
     )
 
 
-def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:
-    """One PDF with the given pages; each page is a list of text lines.
-
-    ``cjk=True`` uses the Identity-H composite font + ToUnicode CMap
-    (2-byte hex-string codes); ``cjk=False`` uses a plain Type1 font with
-    1-byte literal strings (Latin-1 text only).
-    """
+def _build_objects(pages: list[list[str]], cjk: bool, compress: bool) -> dict[int, bytes]:
+    """The shared object set (catalog/pages/font/contents) of one PDF."""
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     # 1 catalog, 2 pages node, 3 font, 4 tounicode (cjk), pages from 5
@@ -88,7 +83,17 @@ def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -
             b" /Contents %d 0 R >>" % content_num,
         )
         objects[content_num] = _stream_obj(content_num, content, compress=compress)
+    return objects
 
+
+def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:
+    """One PDF with the given pages; each page is a list of text lines.
+
+    ``cjk=True`` uses the Identity-H composite font + ToUnicode CMap
+    (2-byte hex-string codes); ``cjk=False`` uses a plain Type1 font with
+    1-byte literal strings (Latin-1 text only). Classic xref table.
+    """
+    objects = _build_objects(pages, cjk, compress)
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -104,4 +109,46 @@ def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (max_num + 1, xref_pos)
     )
+    return bytes(out)
+
+
+def build_pdf_xrefstream(
+    pages: list[list[str]], cjk: bool = True, compress: bool = True
+) -> bytes:
+    """Same document as ``build_pdf`` but with a PDF 1.5 cross-reference
+    STREAM (/Type /XRef, W=[1 4 2]) compressed with FlateDecode and
+    PNG-predictor 12 (Up) — the modern layout ``PdfDocument._load_via_xref``
+    must parse WITHOUT falling back to the object scan. No ``trailer``
+    keyword exists in the file at all, so a reader that only understands
+    classic tables sees nothing."""
+    objects = _build_objects(pages, cjk, compress)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_num = max(objects) + 1
+    xref_pos = len(out)
+    size = xref_num + 1
+    # entry rows (W = 1,4,2): type, offset, gen — object 0 free, rest in use
+    rows = [b"\x00" + (0).to_bytes(4, "big") + b"\xff\xff"]
+    for num in range(1, xref_num):
+        rows.append(b"\x01" + offsets.get(num, 0).to_bytes(4, "big") + b"\x00\x00")
+    rows.append(b"\x01" + xref_pos.to_bytes(4, "big") + b"\x00\x00")  # self
+    columns = 7
+    # PNG predictor 12: per-row filter byte 2 (Up), row = row - prev
+    prev = bytes(columns)
+    filtered = bytearray()
+    for row in rows:
+        filtered.append(2)
+        filtered += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    payload = zlib.compress(bytes(filtered))
+    head = (
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Length %d"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> >>\nstream\n"
+        % (size, len(payload), columns)
+    )
+    out += _obj(xref_num, head + payload + b"\nendstream")
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

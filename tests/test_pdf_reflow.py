@@ -146,6 +146,101 @@ def test_tounicode_bfrange_with_indented_array_destination():
     assert table[0x0010] == "学" and table[0x0012] == "孨"
 
 
+def test_xref_stream_predictor_path():
+    """A PDF 1.5 cross-reference STREAM (FlateDecode + PNG predictor 12,
+    no `trailer` keyword anywhere) must load via the xref path — not the
+    object-scan fallback — and extract identically to the classic layout."""
+    from openccnet_spark.sources.pdf import PdfDocument
+    from openccnet_spark.sources.pdf_synth import build_pdf_xrefstream
+
+    pages = [["他走在路上，忽然看见", "一个熟悉的身影。"], ["第二页内容。"]]
+    xs = build_pdf_xrefstream(pages)
+    assert b"trailer" not in xs
+    doc = PdfDocument(xs)
+    assert doc.xref_loaded is True
+    assert extract_pdf_text(xs) == extract_pdf_text(build_pdf(pages))
+
+
+def test_unterminated_hex_string_terminates():
+    """Regression (round-3 advice, high): a truncated `<hex` with no
+    closing '>' used to rewind the lexer to position 0 and loop forever,
+    hanging the executor task. It must now consume to end-of-input."""
+    from openccnet_spark.sources.pdf import _Lexer
+
+    lex = _Lexer(b"<303132")
+    assert lex.next_token() == b"012"
+    assert lex.pos == 7  # at end-of-input, not rewound
+    # end-to-end: a content stream ending in an unterminated hex string
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 20 >>\nstream\nBT (abc) Tj <4142 ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == "abc\n\n"
+
+
+def test_forward_referenced_stream_length():
+    """Regression (round-3 advice, medium): an indirect /Length whose value
+    object appears AFTER the stream used to fall to the rstrip fallback,
+    which eats Flate payloads ending in \\r/\\n (~1/64 of streams). The
+    two-pass scan must hit the exact-length path."""
+    import zlib
+
+    payload = zlib.compress(b"BT (fwd 17 marker) Tj ET")
+    assert payload.endswith(b"\n")  # the byte the old fallback stripped
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 9 0 R /Filter /FlateDecode >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+        b"9 0 obj\n%d\nendobj\n" % len(payload)
+    )
+    assert extract_pdf_text(pdf) == "fwd 17 marker\n\n"
+
+
+def test_png_predictor_unfiltering_all_types():
+    """_unpredict must invert every PNG row filter (Sub/Up/Average/Paeth),
+    not just the Up filter xref streams typically use."""
+    from openccnet_spark.sources.pdf import PdfDocument
+
+    doc = PdfDocument.__new__(PdfDocument)
+    doc.objects = {}
+    rows = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45]), bytes([200, 1, 7, 255])]
+    for ft in (0, 1, 2, 3, 4):
+        prev = bytes(4)
+        enc = bytearray()
+        for row in rows:
+            if ft == 0:
+                out = row
+            elif ft == 1:
+                out = bytes((row[j] - (row[j - 1] if j else 0)) & 0xFF for j in range(4))
+            elif ft == 2:
+                out = bytes((row[j] - prev[j]) & 0xFF for j in range(4))
+            elif ft == 3:
+                out = bytes(
+                    (row[j] - (((row[j - 1] if j else 0) + prev[j]) >> 1)) & 0xFF
+                    for j in range(4)
+                )
+            else:
+                out = bytearray()
+                for j in range(4):
+                    a = row[j - 1] if j else 0
+                    b, c = prev[j], (prev[j - 1] if j else 0)
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out.append((row[j] - pr) & 0xFF)
+            enc.append(ft)
+            enc += out
+            prev = row
+        got = doc._unpredict(bytes(enc), {"Predictor": 12, "Columns": 4})
+        assert got == b"".join(rows), f"filter type {ft}"
+
+
 # --- property-based fuzzing -----------------------------------------------------
 
 from hypothesis import given, settings
