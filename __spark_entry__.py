@@ -255,7 +255,13 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at the configured banding."""
     from openccnet_spark.operators.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True)
+    handles: list = []
+    out = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
+    # unpersist contract: set on the FINAL frame (any further transform
+    # would drop the attribute); bench._run_to_noop releases these after
+    # materialization so cached frames don't pile up across a shared session
+    out._persist_handles = handles
+    return out
 
 
 def _q_dedup_exact_prehash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +287,10 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a full value-checked query."""
     from openccnet_spark.operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True)
+    handles: list = []
+    out = simhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,7 +314,13 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cos>=0.99 is ~1-1.5e-6 per pair), so it shares its oracle."""
     from openccnet_spark.operators.similarity import lsh_near_duplicates
 
-    return lsh_near_duplicates(_doubled_embeddings(spark, sf_dir), threshold_milli=990)
+    handles: list = []
+    out = lsh_near_duplicates(
+        _doubled_embeddings(spark, sf_dir), threshold_milli=990,
+        persist=True, handles=handles,
+    )
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,11 +499,52 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path beside the LSH buckets. Deterministic seeded-sample centroids, so
     the oracle rebuilds the identical index in DuckDB and value-matches.
     NB: the oracle's centroids come from the driver contract's sf0.01
-    tables; this query samples from ``sf_dir``, so the value comparison is
-    only meaningful at sf0.01 (which is what the driver runs)."""
+    tables (override with SPARK_GRAFT_ORACLE_SF_DIR, which must match the
+    tables the oracle views read); this query samples from ``sf_dir``, so
+    the value comparison is only meaningful when the two agree — sf0.01 in
+    the driver's run."""
     from openccnet_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of BOTH approximate indexes (hyperplane-LSH ANN and IVF)
+    against the exact top-k, as driver-checked values: per query,
+    recall_milli = floor(|approx ∩ exact| * 1000 / k). The oracle rebuilds
+    all three result sets in DuckDB, so the recall itself is pinned —
+    an index regression (or a drifted centroid/bucket fold) fails the
+    hash check rather than just a local pytest assertion. NB the sf
+    corpora are UNIFORM-RANDOM vectors — the adversarial case for any ANN
+    index (true top-k cosines sit near 0.3, where hyperplane buckets carry
+    little signal) — so modest absolute recall here is the honest value;
+    tests/test_training_ops.py separately asserts high recall on planted
+    near-neighbors, the workload these indexes exist for."""
+    from openccnet_spark.operators.similarity import cosine_topk, ivf_topk, lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    k = 5
+    exact = cosine_topk(emb, qids, k=k).select("query_id", "neighbor_id")
+    ann = (
+        lsh_ann_topk(emb, qids, k=k)
+        .select("query_id", "neighbor_id")
+        .withColumn("ann_hit", F.lit(1))
+    )
+    ivf = (
+        ivf_topk(emb, qids, k=k)
+        .select("query_id", "neighbor_id")
+        .withColumn("ivf_hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.floor(F.count("ann_hit") * 1000 / k).cast("long").alias("ann_recall_milli"),
+            F.floor(F.count("ivf_hit") * 1000 / k).cast("long").alias("ivf_recall_milli"),
+        )
+    )
 
 
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _armed(_q_similarity_topk),
         "similarity_ann": _armed(_q_similarity_ann),
         "similarity_ivf": _armed(_q_similarity_ivf),
+        "similarity_recall": _armed(_q_similarity_recall),
         "textstats": _armed(_q_textstats),
         "multimodal_features": _armed(_q_multimodal_features),
         "st_ts_goldens": _armed(_q_st_ts),
@@ -1074,18 +1131,41 @@ def _optional_oracles() -> dict[str, str]:
     different host — the entry is omitted (driver records a rows-only
     check) instead of poisoning every other oracle."""
     out: dict[str, str] = {}
-    try:
-        out["similarity_ivf"] = _similarity_ivf_oracle()
-    except (OSError, ImportError) as exc:  # pragma: no cover - env-specific
-        # only the expected I/O-class failures are tolerated; a genuine
-        # builder bug must surface, not silently demote the check
-        print(f"similarity_ivf oracle unavailable: {exc}", file=sys.stderr)
-    except Exception as exc:
-        if type(exc).__module__.startswith("duckdb"):
-            print(f"similarity_ivf oracle unavailable: {exc}", file=sys.stderr)
-        else:
-            raise
+    for name, builder in (
+        ("similarity_ivf", _similarity_ivf_oracle),
+        ("similarity_recall", _similarity_recall_oracle),
+    ):
+        try:
+            out[name] = builder()
+        except (OSError, ImportError) as exc:  # pragma: no cover - env-specific
+            # only the expected I/O-class failures are tolerated; a genuine
+            # builder bug must surface, not silently demote the check
+            print(f"{name} oracle unavailable: {exc}", file=sys.stderr)
+        except Exception as exc:
+            if type(exc).__module__.startswith("duckdb"):
+                print(f"{name} oracle unavailable: {exc}", file=sys.stderr)
+            else:
+                raise
     return out
+
+
+def _similarity_recall_oracle() -> str:
+    """Recall@5 of the ANN and IVF indexes vs the exact top-k, rebuilt
+    entirely in DuckDB from the three underlying oracles. A left join from
+    the exact set counts the non-null (hit) approximate neighbors; top-k
+    outputs are unique per (query_id, neighbor_id), so no fan-out."""
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_similarity_topk_oracle()})),
+ann AS (SELECT query_id, neighbor_id FROM ({_similarity_ann_oracle()})),
+ivf AS (SELECT query_id, neighbor_id FROM ({_similarity_ivf_oracle()}))
+SELECT e.query_id,
+       floor(count(a.neighbor_id) * 1000 / 5)::BIGINT AS ann_recall_milli,
+       floor(count(i.neighbor_id) * 1000 / 5)::BIGINT AS ivf_recall_milli
+FROM exact e
+LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
 
 
 def _values_oracle(rows: list, select: str, names: str) -> str:
@@ -1238,7 +1318,12 @@ def _similarity_ivf_oracle() -> str:
         sql_cosine,
     )
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    # the driver registers its views over sf0.01; the centroid sample MUST
+    # come from the same tables the views read or the oracle is silently
+    # wrong rather than omitted. SPARK_GRAFT_ORACLE_SF_DIR re-points both
+    # when the comparison runs against a different scale factor.
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
     rows = duckdb.sql(
         f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT {IVF_SAMPLE}"
     ).fetchall()

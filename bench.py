@@ -132,7 +132,12 @@ def _session(master: str, shuffle_partitions: int, executor_mem: str | None = No
 def _run_to_noop(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # queries that persist() intermediate frames expose them here so the
+    # shared bench session doesn't accumulate cached frames across queries
+    for h in getattr(df, "_persist_handles", ()):
+        h.unpersist()
+    return dt
 
 
 def _bench_pipeline(spark, transcripts_path: str, partitions: int | None) -> float:

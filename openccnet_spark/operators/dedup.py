@@ -11,8 +11,9 @@ Four families, each a composition of DataFrame ops (shuffle-conscious):
   candidates -> exact Jaccard verification with array built-ins. Only
   bucket keys + signatures shuffle, never the corpus; bucket size is capped
   to keep pathological buckets from exploding the candidate join.
-* **SimHash** — 64-bit signature, near-dup iff Hamming distance <= k on
-  band-partitioned prefixes (pigeonhole); same candidate-join shape.
+* **SimHash** — 60-bit md5-based signature (15 hex chars, cross-engine
+  reproducible), near-dup iff Hamming distance <= k on 4 x 15-bit
+  pigeonhole bands; same candidate-join shape.
 * **Embedding cosine** — see ``similarity.py``; near-dup = cos >= threshold.
 
 All hash functions are crc32-based and deterministic (NEVER Python's
@@ -27,7 +28,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 JACCARD_THRESHOLD = 0.7
 N_PERMS = 63
@@ -135,16 +135,40 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(_sign, out_schema)
 
 
+def oversized_bucket_filter(
+    buckets: DataFrame, key: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Drop rows of degenerate (oversized) buckets via an aggregate +
+    broadcast anti-join — NOT a ``Window.partitionBy(key)`` count, which
+    sort-shuffles every exploded row. The groupBy count is map-side
+    partial-aggregated (one narrow shuffle of (key, count) pairs), and the
+    few oversized keys broadcast to the anti-join, so the big frame never
+    shuffles for the guard at all."""
+    oversized = (
+        buckets.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select(key)
+    )
+    return buckets.join(F.broadcast(oversized), key, "left_anti")
+
+
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", persist: bool = False
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (a < b). Shuffles (band_key, id) only.
 
-    ``persist=True`` materializes the banded/bucket-size-filtered frame
-    before the self-join: without it Spark recomputes the whole upstream
+    ``persist=True`` materializes the banded frame before the bucket count
+    and the self-join: without it Spark recomputes the whole upstream
     subtree (including the signature mapInPandas and its scan) once per
-    join side. Off by default for small verification runs; at scale,
-    persist — or better, write signatures to a table first.
+    consumer. Off by default for small verification runs; at scale,
+    persist — or better, write signatures to a table first. Persisted
+    frames are appended to ``handles`` (pass a list and unpersist them
+    after materializing the result); footprint is (band_key, id) rows
+    only — a few MB per million docs.
     """
     bands = F.array(
         *[
@@ -159,26 +183,20 @@ def lsh_candidate_pairs(
     buckets = sig_df.select(
         F.col(id_col), F.explode(bands).alias("band_key")
     )
-    # guard: drop degenerate buckets (e.g. empty-text signatures)
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
-    ).filter(F.col("bucket_n") <= MAX_BUCKET)
     if persist:
-        # cache lives until the caller unpersists (handle exposed on the
-        # result as ._persisted_signatures) or the session ends; footprint
-        # is (band_key, id) rows only — a few MB per million docs
-        sized = sized.persist()
+        buckets = buckets.persist()
+        if handles is not None:
+            handles.append(buckets)
+    # guard: drop degenerate buckets (e.g. empty-text signatures)
+    sized = oversized_bucket_filter(buckets, "band_key")
     a = sized.select(F.col("band_key"), F.col(id_col).alias("a"))
     b = sized.select(F.col("band_key"), F.col(id_col).alias("b"))
-    out = (
+    return (
         a.join(b, "band_key")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
-    if persist:
-        out._persisted_signatures = sized  # unpersist handle for callers
-    return out
 
 
 def minhash_near_duplicates(
@@ -187,18 +205,27 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
     persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """MinHash/LSH candidates verified by exact Jaccard on distinct shingles.
 
     Output: (a, b, jaccard_milli) with a < b and jaccard >= threshold.
-    ``persist`` materializes the banded signatures before the self-join
-    (see ``lsh_candidate_pairs``).
+    ``persist`` materializes BOTH reused frames — the banded signatures
+    (consumed by the bucket count and both sides of the self-join) and the
+    shingle sets (joined once per pair side) — so the document scan and
+    the shingling run once, not four times. Persisted frames are appended
+    to ``handles`` for the caller to unpersist after materialization.
     """
     shingled = df.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
+    if persist:
+        shingled = shingled.persist()
+        if handles is not None:
+            handles.append(shingled)
     pairs = lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col), id_col, persist=persist
+        minhash_signatures(df, text_col, id_col), id_col,
+        persist=persist, handles=handles,
     )
     sa = shingled.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -303,6 +330,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """SimHash near-dups via pigeonhole banding on 4 x 15-bit prefixes.
 
@@ -314,11 +342,14 @@ def simhash_near_duplicates(
     ``persist=True`` materializes the signatures before the self-join so
     the signature mapInPandas (and its scan) runs once instead of once
     per join side — the right call at scale (or write signatures to a
-    table and self-join that).
+    table and self-join that). The persisted frame is appended to
+    ``handles`` for the caller to unpersist after materialization.
     """
     sh = simhash_signatures(df, text_col, id_col)
     if persist:
-        sh = sh.persist()  # handle exposed on the result (see below)
+        sh = sh.persist()
+        if handles is not None:
+            handles.append(sh)
     bands = F.array(
         *[
             F.concat_ws(
@@ -335,13 +366,10 @@ def simhash_near_duplicates(
     a = buckets.select("band_key", F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = buckets.select("band_key", F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    out = (
+    return (
         a.join(b, "band_key")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    if persist:
-        out._persisted_signatures = sh  # unpersist handle for callers
-    return out

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import MAX_BUCKET
+from .dedup import oversized_bucket_filter
 
 N_HYPERPLANES = 8
 N_TABLES = 8
@@ -310,6 +310,8 @@ def lsh_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH buckets — the 100 TB
     form of ``embedding_near_duplicates``: candidates come from the bucket
@@ -325,13 +327,18 @@ def lsh_near_duplicates(
     planes = _hyperplanes(dim)
     buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
     tagged = df.select(F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket"))
+    if persist:
+        # the bucket expressions (N_TABLES x N_HYPERPLANES float folds) are
+        # consumed by the oversized count AND both self-join sides — persist
+        # so they evaluate once; caller unpersists via ``handles``
+        tagged = tagged.persist()
+        if handles is not None:
+            handles.append(tagged)
     # degenerate-bucket guard (same rationale as dedup.lsh_candidate_pairs
     # MAX_BUCKET): a hot bucket — zero-norm or identical-direction vectors
     # en masse — would otherwise re-create the O(n^2) join this operator
-    # exists to avoid
-    sized = tagged.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    # exists to avoid. Aggregate + broadcast anti-join, not a sort-window.
+    sized = oversized_bucket_filter(tagged, "bucket")
     a = sized.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = sized.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     cand = (
