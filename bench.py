@@ -150,6 +150,115 @@ def _bench_pipeline(spark, transcripts_path: str, partitions: int | None) -> flo
     return _run_to_noop(quality_filter(df, config="t2s", salt_partitions=partitions))
 
 
+def _scaled_docs(spark, sf_dir: str, mult: int):
+    """documents x mult with per-copy word salting: suffixing EVERY word
+    with the copy index makes every shingle distinct across copies (no
+    cross-copy LSH collisions — candidate pairs grow linearly, the honest
+    scale-up), while within-copy structure is preserved exactly."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = None
+    for k in range(mult):
+        tag = F.lit(f"_{k}")
+        copy = docs.select(
+            (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.transform(F.split(F.coalesce("text", F.lit("")), " "), lambda w: F.concat(w, tag))
+            ).alias("text"),
+        )
+        out = copy if out is None else out.unionByName(copy)
+    return out
+
+
+def _scaled_mutant_docs(spark, sf_dir: str, mult: int):
+    """The _mutant_docs shape (each doc + itself minus its last word) over
+    the salted mult-x corpus — the input the dedup_* queries bench at 1x."""
+    from pyspark.sql import functions as F
+
+    docs = _scaled_docs(spark, sf_dir, mult)
+    mutated = docs.withColumn("doc_id", F.col("doc_id") + 50_000_000).withColumn(
+        "text",
+        F.expr(
+            "substring(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
+        ),
+    )
+    return docs.unionByName(mutated)
+
+
+def _scaled_embeddings(spark, sf_dir: str, mult: int):
+    """embeddings x mult; copy k's vectors are rolled k positions, which
+    decorrelates copies (random vectors) so LSH buckets don't collide
+    across copies and near-dup work grows linearly."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = None
+    for k in range(mult):
+        vec = (
+            F.col("embedding")
+            if k == 0
+            else F.concat(
+                F.slice("embedding", k + 1, 64 - k), F.slice("embedding", 1, k)
+            )
+        )
+        copy = emb.select(
+            (F.col("vec_id") + k * 1_000_000).alias("vec_id"), vec.alias("embedding")
+        )
+        out = copy if out is None else out.unionByName(copy)
+    return out
+
+
+def _scale_family_queries():
+    """(name, fn(spark, sf_dir, mult) -> DataFrame) for the heavy dedup/
+    similarity operators, at mult x their 1x bench inputs."""
+    from pyspark.sql import functions as F
+
+    def minhash(spark, sf_dir, mult):
+        from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+        handles: list = []
+        out = minhash_near_duplicates(
+            _scaled_mutant_docs(spark, sf_dir, mult), persist=True, handles=handles
+        )
+        out._persist_handles = handles
+        return out
+
+    def simhash(spark, sf_dir, mult):
+        from openccnet_spark.operators.dedup import simhash_near_duplicates
+
+        handles: list = []
+        out = simhash_near_duplicates(
+            _scaled_mutant_docs(spark, sf_dir, mult), persist=True, handles=handles
+        )
+        out._persist_handles = handles
+        return out
+
+    def emb_lsh(spark, sf_dir, mult):
+        from openccnet_spark.operators.similarity import lsh_near_duplicates
+
+        emb = _scaled_embeddings(spark, sf_dir, mult)
+        doubled = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 50_000_000))
+        handles: list = []
+        out = lsh_near_duplicates(doubled, threshold_milli=990, persist=True, handles=handles)
+        out._persist_handles = handles
+        return out
+
+    def ann(spark, sf_dir, mult):
+        from openccnet_spark.operators.similarity import lsh_ann_topk
+
+        return lsh_ann_topk(
+            _scaled_embeddings(spark, sf_dir, mult), query_ids=[0, 1, 2, 3, 4], k=5
+        )
+
+    return [
+        ("dedup_minhash", minhash),
+        ("dedup_simhash", simhash),
+        ("dedup_embedding_lsh", emb_lsh),
+        ("similarity_ann", ann),
+    ]
+
+
 def main() -> int:
     from openccnet_spark.sources.transcripts import n_conv_for_sf, spark_transcripts
     import __spark_entry__ as entry_mod
@@ -184,16 +293,25 @@ def main() -> int:
         # cores, leaving headroom for each task's JVM feeder thread +
         # Python worker (a fully saturated pair measures host contention,
         # not Spark scaling). The pair is interleaved A/B/A/B and min time
-        # per side is kept — tenant noise only ever slows a run.
-        # Falls back to a matched thread-mode pair if local-cluster cannot
-        # launch here (the JSON line must survive either way).
+        # per side is kept — tenant noise only ever slows a run. After the
+        # base 3 reps, the phase SELF-CHECKS its same-loop controls and
+        # retries (bounded) while they flag tenant contamination, so the
+        # emitted efficiency comes from a clean window rather than hoping
+        # one. Falls back to a matched thread-mode pair if local-cluster
+        # cannot launch here (the JSON line must survive either way).
         n_exec_low, n_exec_high, cores_per_exec = 1, 4, 4
+        cores_low = n_exec_low * cores_per_exec
+        cores_high = n_exec_high * cores_per_exec
         scale_low = scale_high_exec = None
         scaling_mode = "executors"
+        scaling_attempts = 0
+        hw_eff = workload_ctrl = None
+        host_noise_suspect = True
         ctrl_times: dict[int, list[float]] = {}
         try:
             exec_times: dict[int, list[float]] = {n_exec_low: [], n_exec_high: []}
-            for _rep in range(3):
+
+            def one_rep():
                 for n_exec in (n_exec_low, n_exec_high):
                     spark = _session(
                         f"local-cluster[{n_exec},{cores_per_exec},6144]",
@@ -205,18 +323,43 @@ def main() -> int:
                     spark.stop()
                 # workload ceiling measured INSIDE the loop so it sees the
                 # same tenant load as the Spark pair it calibrates
-                for n, t in _workload_control_times(
-                    n_exec_low * cores_per_exec, n_exec_high * cores_per_exec
-                ).items():
+                for n, t in _workload_control_times(cores_low, cores_high).items():
                     ctrl_times.setdefault(n, []).append(t)
-            scale_low = min(exec_times[n_exec_low])
-            scale_high_exec = min(exec_times[n_exec_high])
+
+            # base protocol: 3 interleaved reps; then up to 3 extra reps
+            # while the same-run noise checks say another tenant polluted a
+            # phase. min-per-side over ALL reps stays the estimator (noise
+            # only ever SLOWS a run, so extra reps can only sharpen it).
+            hw_effs: list[float] = []
+            for rep in range(6):
+                one_rep()
+                scaling_attempts = rep + 1
+                if scaling_attempts < 3:
+                    continue
+                scale_low = min(exec_times[n_exec_low])
+                scale_high_exec = min(exec_times[n_exec_high])
+                hw_effs.append(_hw_control_efficiency(cores_low, cores_high))
+                hw_eff = max(hw_effs)  # best window seen: the silicon bound
+                workload_ctrl = min(ctrl_times[cores_low]) / min(ctrl_times[cores_high])
+                thr_ratio = scale_low / scale_high_exec  # same input both sides
+                host_noise_suspect = (
+                    hw_eff < 0.6 or workload_ctrl > 1.0 or thr_ratio < 1.0
+                )
+                if not host_noise_suspect:
+                    break
+                print(
+                    f"scaling rep {scaling_attempts}: controls flag tenant noise "
+                    f"(hw={hw_eff:.3f} workload={workload_ctrl:.3f} "
+                    f"thr_ratio={thr_ratio:.3f}); retrying",
+                    file=sys.stderr,
+                )
             queries[f"pipeline_scale_{n_exec_low}x{cores_per_exec}exec"] = round(scale_low, 3)
             queries[f"pipeline_scale_{n_exec_high}x{cores_per_exec}exec"] = round(scale_high_exec, 3)
         except Exception as exc:  # pragma: no cover - env-specific
             print(f"local-cluster unavailable ({exc}); thread-mode fallback", file=sys.stderr)
             scale_low = scale_high_exec = None
             ctrl_times = {}  # partial 4/16-core controls would mis-key the 8/32 thread pair
+            hw_eff = workload_ctrl = None
             try:
                 spark.stop()
             except Exception:
@@ -257,30 +400,61 @@ def main() -> int:
         scale_high = _bench_pipeline(spark, scale_path, None)
         queries["pipeline_scale_test"] = round(scale_high, 3)
 
-        # secondary operator benches (driver-contract queries on sf tables)
+        # secondary operator benches (driver-contract queries on sf tables),
+        # best-of-2 like the headline: single runs of sub-1.5 s queries are
+        # dominated by fixed overhead and tenant noise (the r01->r02
+        # "regressions" were exactly this)
         q = entry_mod.queries()
         for name in (
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
             "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
             "dedup_simhash", "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
-            "similarity_ivf", "textstats", "pdf_reflow_convert",
-            "office_convert",
+            "similarity_ivf", "similarity_recall", "textstats",
+            "pdf_reflow_convert", "office_convert",
         ):
-            queries[name] = round(_run_to_noop(q[name](spark, SF_DIR)), 3)
+            queries[name] = round(
+                min(
+                    _run_to_noop(q[name](spark, SF_DIR)),
+                    _run_to_noop(q[name](spark, SF_DIR)),
+                ),
+                3,
+            )
+
+        # ---- dedup/similarity family at SCALE_MULT x rows: proves the
+        # bucket joins (not the guards) carry the load. Per-copy word/
+        # vector salting keeps copies from colliding with EACH OTHER, so
+        # true pair counts — and ideal work — grow linearly with the
+        # multiplier; per-row growth near 1.0 means the plan scales.
+        scale_family: dict[str, float] = {}
+        for name, fn in _scale_family_queries():
+            # base measured on the SAME salted shape at mult=1 so the
+            # per-row ratio compares like against like
+            t1 = min(
+                _run_to_noop(fn(spark, SF_DIR, 1)),
+                _run_to_noop(fn(spark, SF_DIR, 1)),
+            )
+            t_m = _run_to_noop(fn(spark, SF_DIR, SCALE_MULT))
+            queries[f"{name}_x1"] = round(t1, 3)
+            queries[f"{name}_x{SCALE_MULT}"] = round(t_m, 3)
+            # perrow ~1.0 = linear growth; > 1 = superlinear (a quadratic
+            # join or a guard carrying the load would show here)
+            scale_family[name] = round(t_m / (SCALE_MULT * t1), 2)
         spark.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     cores_low = n_exec_low * cores_per_exec
     cores_high = n_exec_high * cores_per_exec
-    hw_eff = _hw_control_efficiency(cores_low, cores_high)
-    if ctrl_times:
-        # min per side across interleaved reps — same estimator as Spark
-        workload_ctrl = min(ctrl_times[cores_low]) / min(ctrl_times[cores_high])
-    else:
-        t = _workload_control_times(cores_low, cores_high)
-        workload_ctrl = t[cores_low] / t[cores_high]
+    if hw_eff is None:
+        hw_eff = _hw_control_efficiency(cores_low, cores_high)
+    if workload_ctrl is None:
+        if ctrl_times:
+            # min per side across interleaved reps — same estimator as Spark
+            workload_ctrl = min(ctrl_times[cores_low]) / min(ctrl_times[cores_high])
+        else:
+            t = _workload_control_times(cores_low, cores_high)
+            workload_ctrl = t[cores_low] / t[cores_high]
     thr_low = n_turns_big / scale_low
     thr_high = n_turns_big / scale_high_exec
     # one pure N->4N pair of the SAME job on the SAME input (best-of per
@@ -290,7 +464,9 @@ def main() -> int:
     # silicon control near 1 and the workload control below 1; a collapsed
     # silicon control, an impossible >1 workload control, or 4N measuring
     # slower than N all mean other tenants ran during a phase — the
-    # efficiency number from such a run measures their load, not Spark
+    # efficiency number from such a run measures their load, not Spark.
+    # The executor phase above already retried (bounded) while this
+    # flagged; if it STILL flags, the flag is emitted honestly.
     host_noise_suspect = (
         hw_eff < 0.6 or workload_ctrl > 1.0 or thr_high < thr_low
     )
@@ -306,6 +482,11 @@ def main() -> int:
                 "turns_per_sec": round(n_turns / pipeline_high, 1),
                 "scale_test_turns": n_turns_big,
                 "scaling_mode": scaling_mode,
+                "scaling_attempts": scaling_attempts,
+                # per-row time ratio of mult-x vs 1x for the heavy
+                # dedup/similarity operators (1.0 = perfectly linear)
+                "dedup_scale_mult": SCALE_MULT,
+                "scale_family_perrow": scale_family,
                 "executors_low": n_exec_low,
                 "executors_high": n_exec_high,
                 "cores_per_executor": cores_per_exec,

@@ -10,9 +10,12 @@ LengthMask, LongLengths}``. This module loads those files into our
   based and is always recomputed here in code points (SURVEY.md §1.2);
 * CBOR is decoded by a small self-contained RFC 8949 reader (major types
   0-7, definite + indefinite lengths) — no third-party dependency;
-* Zstd decompression is gated behind an import-try (no zstd codec ships in
-  this sandbox); ``.json``/``.cbor`` cover the committed reference test
-  fixtures (``OpenccNetTests/data/dictionary_maxlength.{json,cbor}``).
+* Zstd-compressed JSON decodes through the ``zstandard`` wheel when one is
+  installed, else through the self-contained pure-Python RFC 8878 decoder
+  in ``zstd_decode.py`` — all three reference fixture formats
+  (``OpenccNetTests/data/dictionary_maxlength.{json,cbor}``,
+  ``OpenccNetLib/dicts/dictionary_maxlength.zstd``) load with no
+  third-party dependency.
 
 Compat-ideograph and DeTofu tables are not part of the reference's bundle
 serialization (they live in separate ``dicts/*.txt`` data), so they are
@@ -151,8 +154,9 @@ def load_reference_bundle(path: str | Path, base: DictionaryBundle | None = None
     """Load a reference-format bundle file into a ``DictionaryBundle``.
 
     Format chosen by extension: ``.json`` / ``.cbor`` / ``.zstd`` (Zstd
-    needs a zstd codec module; ImportError surfaces if absent). Compat /
-    DeTofu tables come from ``base`` (default: the compiled bundle).
+    via the ``zstandard`` wheel when installed, else the built-in
+    pure-Python RFC 8878 decoder). Compat / DeTofu tables come from
+    ``base`` (default: the compiled bundle).
     """
     p = Path(path)
     raw = p.read_bytes()
@@ -160,9 +164,18 @@ def load_reference_bundle(path: str | Path, base: DictionaryBundle | None = None
     if suffix == ".cbor":
         doc = decode_cbor(raw)
     elif suffix == ".zstd":
-        import zstandard  # no sandbox wheel; gate behind import-try upstream
+        try:
+            import zstandard  # fast path when a codec wheel is installed
 
-        doc = json.loads(zstandard.ZstdDecompressor().decompress(raw).decode("utf-8"))
+            payload = zstandard.ZstdDecompressor().decompress(raw)
+        except ImportError:
+            # self-contained RFC 8878 decoder (same spirit as the CBOR
+            # reader above) — the reference's .zstd fixture loads with
+            # no third-party dependency
+            from .zstd_decode import decompress
+
+            payload = decompress(raw)
+        doc = json.loads(payload.decode("utf-8"))
     else:
         doc = json.loads(raw.decode("utf-8"))
     missing = [s for s in SLOTS if s not in doc]

@@ -68,3 +68,72 @@ def test_cbor_decoder_primitives():
     # indefinite-length array and text string
     assert decode_cbor(bytes.fromhex("9f018202039f0405ffff")) == [1, [2, 3], [4, 5]]
     assert decode_cbor(bytes.fromhex("7f657374726561646d696e67ff")) == "streaming"
+
+
+# --- zstd: the reference's third bundle format ------------------------------
+
+_ZSTD_FIXTURE = Path("/root/reference/OpenccNetLib/dicts/dictionary_maxlength.zstd")
+
+
+def _raw_frame(payload: bytes, checksum: bool = False) -> bytes:
+    """Handcraft a single-segment zstd frame of one RAW block."""
+    fhd = 0x20 | (0x04 if checksum else 0)  # single-segment, FCS 1 byte
+    assert len(payload) < 256
+    hdr = (len(payload) << 3) | (0 << 1) | 1  # raw, last
+    out = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([fhd, len(payload)])
+        + hdr.to_bytes(3, "little")
+        + payload
+    )
+    if checksum:
+        out += b"\x00\x00\x00\x00"  # skipped, not verified
+    return out
+
+
+def test_zstd_raw_rle_and_skippable_frames():
+    """Container plumbing on handcrafted frames: raw block, RLE block,
+    multi-frame concatenation, skippable frames, checksum skip-over."""
+    from openccnet_spark.zstd_decode import ZstdError, decompress
+
+    assert decompress(_raw_frame(b"hello zstd")) == b"hello zstd"
+    assert decompress(_raw_frame(b"abc", checksum=True)) == b"abc"
+    # RLE block: size field = REGENERATED size, one payload byte
+    rle = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x20, 7])
+        + ((7 << 3) | (1 << 1) | 1).to_bytes(3, "little")
+        + b"x"
+    )
+    assert decompress(rle) == b"xxxxxxx"
+    # skippable frame between two real frames
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"???"
+    assert decompress(_raw_frame(b"one") + skip + _raw_frame(b"two")) == b"onetwo"
+    with pytest.raises(ZstdError, match="bad magic"):
+        decompress(b"\x00\x01\x02\x03rest")
+
+
+@pytest.mark.skipif(not _ZSTD_FIXTURE.exists(), reason="reference zstd fixture not present")
+def test_zstd_fixture_decodes_to_valid_bundle_json():
+    """The reference's published 450 KB zstd pack must decode through the
+    pure-Python RFC 8878 decoder to the same 21-slot JSON document shape
+    as the committed JSON fixture."""
+    import json
+
+    from openccnet_spark.zstd_decode import decompress
+
+    doc = json.loads(decompress(_ZSTD_FIXTURE.read_bytes()).decode("utf-8"))
+    assert set(SLOTS) <= set(doc)
+    assert doc["st_characters"]["Dict"]  # non-empty payloads
+
+
+@pytest.mark.skipif(not _ZSTD_FIXTURE.exists(), reason="reference zstd fixture not present")
+def test_zstd_bundle_matches_json_fixture_and_converts(json_bundle):
+    """End-to-end: .zstd loads through load_reference_bundle, slot-for-slot
+    equals the .json fixture bundle, and converts the golden set."""
+    zb = load_reference_bundle(_ZSTD_FIXTURE)
+    for s in SLOTS:
+        assert zb.slots[s] == json_bundle.slots[s], s
+    cc = Converter(zb)
+    for config, punct, inp, expected in GOLDENS:
+        assert cc.convert(inp, config, punct) == expected, (config, inp)
