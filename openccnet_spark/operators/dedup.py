@@ -51,19 +51,33 @@ _PERM_A, _PERM_B = _perm_params()
 
 
 def shingles_col(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM built-ins)."""
-    words = F.split(text_col, " ")
-    k = F.size(words) - (n - 1)
-    # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard k < 1 or
-    # element_at(words, 0) throws INVALID_INDEX_OF_ZERO on short texts.
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles as an array column (JVM built-ins).
+
+    The split result MUST be bound as a lambda variable (the single-
+    element ``transform`` wrapper) rather than referenced as a plain
+    subexpression: higher-order-function lambda bodies are evaluated per
+    element with NO subexpression elimination, so an inline
+    ``split(text)`` would re-split the whole document for every
+    ``element_at`` — O(words^2) per document (measured 3-5x wall time on
+    the shingle stage even at 1k docs).
+    """
+
+    def build(words):
+        k = F.size(words) - (n - 1)
+        # NB: Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard
+        # k < 1 or element_at(words, 0) throws INVALID_INDEX_OF_ZERO.
+        grams = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return F.element_at(F.transform(F.array(F.split(text_col, " ")), build), 1)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
