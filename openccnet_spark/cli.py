@@ -48,6 +48,13 @@ def _codec(name: str) -> str:
 def _read_input(path: str | None, encoding: str) -> str:
     if path:
         return Path(path).read_text(encoding=_codec(encoding))
+    if sys.stdin.isatty():
+        # interactive parity with the reference (ConvertCommand.cs:303-321)
+        print(
+            "Input text to convert, <Ctrl+D> (Unix) or <Ctrl+Z> (Windows) "
+            "then Enter to submit:",
+            file=sys.stderr,
+        )
     data = sys.stdin.buffer.read()
     return data.decode(_codec(encoding))
 
@@ -57,6 +64,10 @@ def _write_output(path: str | None, text: str, encoding: str) -> None:
         Path(path).write_text(text, encoding=_codec(encoding))
     else:
         sys.stdout.buffer.write(text.encode(_codec(encoding)))
+        if sys.stdout.isatty() and text and not text.endswith("\n"):
+            # reference parity: terminal output gets a closing newline,
+            # redirected output stays byte-exact (ConvertCommand.cs:324-346)
+            sys.stdout.buffer.write(b"\n")
 
 
 def _converter(custom_dicts: list[str]):
@@ -74,10 +85,48 @@ def _converter(custom_dicts: list[str]):
     return Converter(bundle)
 
 
+def _stream_convert(args: argparse.Namespace, cc) -> int:
+    """Line-streaming stdin->stdout mode: convert each line as it arrives
+    (pipelines, tail -f). The reference reads stdin to EOF in one gulp
+    (ConvertCommand.cs:303-348); per-line output is equivalent for its
+    config surface because conversion never matches across a newline
+    (every round's dictionaries are newline-free — the same invariant the
+    Spark splitter relies on), but it starts emitting immediately and
+    holds one line in memory instead of the whole stream."""
+    from .detofu import parse_level
+
+    in_codec = _codec(args.in_enc)
+    out_codec = _codec(args.out_enc)
+    level = parse_level(args.detofu) if args.detofu is not None else None
+    for raw in sys.stdin.buffer:
+        line = raw.decode(in_codec)
+        # preserve the exact original line ending (\n, \r\n, or none at EOF)
+        body = line.rstrip("\r\n")
+        nl = line[len(body):]
+        line = body
+        if args.norm_compat:
+            line = cc.normalize_compat(line)
+        out = cc.convert(line, args.config, args.punct, preserve_ids=args.keep_ids)
+        if level is not None:
+            if args.detofu_file:
+                out = cc.detofu_with_custom_file(out, level, args.detofu_file)
+            else:
+                out = cc.detofu(out, level)
+        sys.stdout.buffer.write((out + nl).encode(out_codec))
+        sys.stdout.buffer.flush()
+    if cc.get_last_error():
+        print(cc.get_last_error(), file=sys.stderr)
+    return 0
+
+
 def _cmd_convert(args: argparse.Namespace) -> int:
     from .detofu import parse_level
 
     cc = _converter(args.custom_dict)
+    if args.stream:
+        if args.input or args.output:
+            raise SystemExit("--stream reads stdin and writes stdout only")
+        return _stream_convert(args, cc)
     text = _read_input(args.input, args.in_enc)
     if args.norm_compat:
         text = cc.normalize_compat(text)
@@ -162,6 +211,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preserve Unicode IDS expressions")
     c.add_argument("--norm-compat", "-n", action="store_true",
                    help="normalize CJK Compatibility Ideographs first")
+    c.add_argument("--stream", "-s", action="store_true",
+                   help="line-streaming stdin->stdout (convert each line as it arrives)")
     c.set_defaults(fn=_cmd_convert)
 
     o = sub.add_parser("office", help="convert Office/EPUB container")

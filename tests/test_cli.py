@@ -80,3 +80,27 @@ def test_pdf_requires_config_unless_extract(tmp_path):
     src.write_bytes(b"%PDF-1.7\n")
     with pytest.raises(SystemExit):
         main(["pdf", "-i", str(src)])
+
+
+def test_convert_stream_mode():
+    """--stream converts stdin line-by-line to stdout via a real pipe
+    (reference ConvertCommand stdin/stdout flow, line-buffered), output
+    byte-exact vs the whole-text path incl. mixed line endings."""
+    import subprocess
+    import sys
+
+    inp = "简体第一行\r\n第二行软件\n最后无换行".encode("utf-8")
+    proc = subprocess.run(
+        [sys.executable, "-m", "openccnet_spark", "convert", "-c", "s2t", "--stream"],
+        input=inp,
+        capture_output=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert proc.stdout.decode("utf-8") == "簡體第一行\r\n第二行軟件\n最後無換行"
+
+
+def test_convert_stream_rejects_files(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["convert", "-c", "s2t", "--stream", "-i", str(tmp_path / "x.txt")])
