@@ -323,6 +323,39 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs: the
+    clustering step that turns pairwise output into per-document dedup
+    groups. Iterative min-label propagation (localCheckpoint per round);
+    the oracle recomputes the transitive closure with a DuckDB recursive
+    CTE over the identical pair list, so components value-match."""
+    from openccnet_spark.operators.components import connected_components
+    from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+    handles: list = []
+    pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
+    out = connected_components(pairs)
+    for h in handles:  # the iteration has materialized everything already
+        h.unpersist()
+    return out
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup decision: near-dup pairs -> components ->
+    one canonical doc per cluster + membership counts, singletons
+    included. The keep-set a real pipeline would write."""
+    from openccnet_spark.operators.components import canonical_documents
+    from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _mutant_docs(spark, sf_dir)
+    handles: list = []
+    pairs = minhash_near_duplicates(docs, persist=True, handles=handles)
+    out = canonical_documents(pairs, docs)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors 0..4."""
     from openccnet_spark.operators.similarity import cosine_topk
@@ -559,6 +592,48 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score_milli(t).alias("quality_milli"),
         T.fingerprint64(t).alias("fingerprint"),
     )
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (word -> count): the canonical heavy
+    shuffle — explode words, groupBy with map-side partial aggregation,
+    then distributed top-k (orderBy+limit = TakeOrdered, never a global
+    single-partition sort of the vocabulary)."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("w")).limit(50)
+    wnd = Window.orderBy(F.desc("n"), F.asc("w"))  # 50 rows: trivial window
+    return top.withColumn("rank", F.row_number().over(wnd).cast("int"))
+
+
+def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality-score percentiles (p50/p90/p99) via the
+    rank-at-ceil(p*n) definition — integer-exact in both engines (no
+    float interpolation to drift), one sort-shuffle per language."""
+    from pyspark.sql.window import Window
+
+    from openccnet_spark.operators import textstats as T
+
+    docs = _read(spark, sf_dir, "documents")
+    q = T.quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
+    wnd = Window.partitionBy("lang").orderBy("q", "doc_id")
+    ranked = (
+        docs.select("lang", q.alias("q"), "doc_id")
+        .withColumn("rn", F.row_number().over(wnd))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("q"))
+        ).alias(name)
+        for p, name in ((0.5, "p50_milli"), (0.9, "p90_milli"), (0.99, "p99_milli"))
+    ]
+    return ranked.groupBy("lang").agg(*aggs)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _armed(_q_dedup_minhash),
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
         "dedup_simhash": _armed(_q_dedup_simhash),
+        "dedup_components": _armed(_q_dedup_components),
+        "dedup_canonical": _armed(_q_dedup_canonical),
         "dedup_embedding": _armed(_q_dedup_embedding),
         "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
         "similarity_topk": _armed(_q_similarity_topk),
@@ -831,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": _armed(_q_similarity_ivf),
         "similarity_recall": _armed(_q_similarity_recall),
         "textstats": _armed(_q_textstats),
+        "vocab_topk": _armed(_q_vocab_topk),
+        "quality_quantiles": _armed(_q_quality_quantiles),
         "multimodal_features": _armed(_q_multimodal_features),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
@@ -991,10 +1070,14 @@ FROM d GROUP BY text
 """,
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
+        "dedup_components": _dedup_components_oracle(),
+        "dedup_canonical": _dedup_canonical_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "similarity_topk": _similarity_topk_oracle(),
         "textstats": _textstats_oracle(),
+        "vocab_topk": _vocab_topk_oracle(),
+        "quality_quantiles": _quality_quantiles_oracle(),
         "multimodal_features": """
 SELECT doc_id,
        octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
@@ -1217,6 +1300,45 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
 """
 
 
+def _components_walk_sql() -> str:
+    """Shared recursive-CTE body: MinHash pair list -> symmetric edges ->
+    transitive closure (walk) -> min reachable id per node. UNION (not
+    UNION ALL) dedups rows so the recursion terminates on the finite
+    closure."""
+    return f"""
+p AS (SELECT a, b FROM ({_dedup_minhash_oracle()})),
+edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+),
+comp AS (SELECT node, min(label)::BIGINT AS component FROM walk GROUP BY node)
+"""
+
+
+def _dedup_components_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_components_walk_sql()}
+SELECT node, component FROM comp
+"""
+
+
+def _dedup_canonical_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_components_walk_sql()},
+d AS (SELECT doc_id FROM documents UNION ALL SELECT doc_id + 100000 FROM documents),
+lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+SELECT l.doc_id, l.component, (l.doc_id = l.component) AS is_canonical,
+       coalesce(s.n, 1)::BIGINT AS n_members
+FROM lab l LEFT JOIN sizes s ON l.component = s.component
+"""
+
+
 def _dedup_simhash_oracle() -> str:
     """Recompute the 60-bit md5-based SimHash per document in DuckDB and
     emit ALL pairs with hamming <= 3 brute-force. The Spark side's 4x15-bit
@@ -1395,6 +1517,33 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos_milli DESC, neighbor_id ASC) AS rank
       FROM s)
 SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+
+def _vocab_topk_oracle() -> str:
+    return """
+WITH w AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents),
+c AS (SELECT w, count(*)::BIGINT AS n FROM w WHERE w <> '' GROUP BY w),
+r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rank FROM c)
+SELECT w, n, rank::INT AS rank FROM r WHERE rank <= 50
+"""
+
+
+def _quality_quantiles_oracle() -> str:
+    from openccnet_spark.operators import textstats as T
+
+    q = T.sql_quality_score_milli("coalesce(text, '')")
+    return f"""
+WITH s AS (SELECT lang, {q} AS q, doc_id FROM documents),
+r AS (SELECT lang, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+SELECT lang,
+       min(CASE WHEN rn = ceil(0.5 * n) THEN q END)::BIGINT AS p50_milli,
+       min(CASE WHEN rn = ceil(0.9 * n) THEN q END)::BIGINT AS p90_milli,
+       min(CASE WHEN rn = ceil(0.99 * n) THEN q END)::BIGINT AS p99_milli
+FROM r GROUP BY lang
 """
 
 

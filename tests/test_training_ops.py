@@ -182,3 +182,48 @@ def test_lsh_near_duplicates_matches_bruteforce(spark, embs):
     lsh = {(r.a, r.b, r.cos_milli) for r in
            similarity.lsh_near_duplicates(doubled, threshold_milli=990).collect()}
     assert lsh == brute and len(brute) == embs.count()
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation: a 5-node chain (diameter 4), a triangle, and
+    an isolated pair must each collapse to their minimum id."""
+    from openccnet_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                           # pair
+        "a long, b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_iteration_guard(spark):
+    """A diameter larger than max_iterations must raise, not silently
+    return half-merged components."""
+    import pytest
+
+    from openccnet_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+
+
+def test_canonical_documents_singletons_and_clusters(spark):
+    """canonical_documents: pair members share a component with one
+    canonical row; unpaired docs are their own singleton components."""
+    from openccnet_spark.operators.components import canonical_documents
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    rows = {r.doc_id: r for r in canonical_documents(pairs, docs).collect()}
+    assert [rows[i].component for i in (1, 2, 3)] == [1, 1, 1]
+    assert rows[4].component == 4 and rows[4].is_canonical and rows[4].n_members == 1
+    assert rows[5].component == 5 and rows[6].component == 5
+    assert [rows[i].is_canonical for i in (1, 2, 3, 5, 6)] == [True, False, False, True, False]
+    assert rows[1].n_members == 3 and rows[5].n_members == 2
