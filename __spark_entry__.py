@@ -356,6 +356,37 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_skew_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted join: lineitem (skewed side, salted on its
+    line number so a hot order spreads over 8 reducers) joined to orders,
+    revenue cents per order priority. Salting changes the shuffle layout,
+    not the semantics — the oracle is the PLAIN join + aggregate."""
+    from openccnet_spark.operators.skew import salted_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on=["o_orderkey"],
+        salt_from=F.col("l_linenumber"),
+        n_salt=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors 0..4."""
     from openccnet_spark.operators.similarity import cosine_topk
@@ -901,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _armed(_q_dedup_simhash),
         "dedup_components": _armed(_q_dedup_components),
         "dedup_canonical": _armed(_q_dedup_canonical),
+        "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
         "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
         "similarity_topk": _armed(_q_similarity_topk),
@@ -1072,6 +1104,14 @@ FROM d GROUP BY text
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "dedup_canonical": _dedup_canonical_oracle(),
+        "skew_join_priority": """
+SELECT o.o_orderpriority,
+       sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+         AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
         "dedup_embedding": _dedup_embedding_oracle(),
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "similarity_topk": _similarity_topk_oracle(),

@@ -484,8 +484,10 @@ def main() -> int:
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
             "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
-            "dedup_simhash", "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
+            "dedup_simhash", "dedup_components", "dedup_canonical",
+            "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
             "similarity_ivf", "similarity_recall", "textstats",
+            "vocab_topk", "quality_quantiles", "skew_join_priority",
             "pdf_reflow_convert", "office_convert",
         ):
             queries[name] = round(

@@ -52,6 +52,20 @@ def streaming_quality_filter(stream: DataFrame, **pipeline_kwargs) -> DataFrame:
     return quality_filter(stream, **pipeline_kwargs)
 
 
+def streaming_dedup_turns(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on (conv_id, turn_idx): replays/retries from
+    an at-least-once upstream (Kafka redelivery, retried batch loads) are
+    dropped while their event time is within the watermark. State is
+    bounded by the watermark — Spark evicts seen-keys older than it —
+    which is the property that lets this run forever at ingest scale;
+    a duplicate arriving LATER than the watermark is by contract the
+    upstream's exactly-once violation, not silently absorbed state
+    growth. The batch analog is ``dedup.exact_duplicates``."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 _SESSION_OUT = StructType(
     [
         StructField("conv_id", StringType()),

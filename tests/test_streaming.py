@@ -118,3 +118,41 @@ def test_streaming_conversation_state(spark, tmp_path):
     assert a.n_turns == 3 and a.n_kept == 2
     assert a.first_ts.replace(tzinfo=None) == base
     assert a.last_ts.replace(tzinfo=None) == base + dt.timedelta(seconds=60)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicated source files (an at-least-once upstream replay) must
+    come out exactly once per (conv_id, turn_idx) when the duplicates
+    arrive inside the watermark."""
+    from openccnet_spark.streaming import streaming_dedup_turns
+
+    src_dir = tmp_path / "dup_src"
+    src_dir.mkdir()
+    base = spark_transcripts(spark, 10)
+    n_unique = base.count()
+    # the same data written twice = a replayed batch
+    base.repartition(2).write.mode("overwrite").parquet(str(src_dir / "a"))
+    base.repartition(3).write.mode("overwrite").parquet(str(src_dir / "b"))
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src_dir / "*"))
+    )
+    out = streaming_dedup_turns(stream)
+    q = (
+        out.select("conv_id", "turn_idx")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select conv_id, turn_idx from stream_dedup").collect()
+    assert len(rows) == n_unique
+    assert len({(r.conv_id, r.turn_idx) for r in rows}) == n_unique
