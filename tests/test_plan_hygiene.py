@@ -1,0 +1,109 @@
+"""Physical-plan hygiene: the scale properties this engine claims are
+pinned as assertions on `.explain()` output, so a regression that makes a
+plan silently worse (a lost pushdown, a flipped broadcast side, a second
+Python stage, a sort-window guard) fails CI rather than only showing up
+as a 100 TB incident.
+
+Each test documents WHY the property matters at scale.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_project_pushes_down_and_prunes(spark):
+    """Predicate pushdown + column pruning must reach the parquet scan:
+    at 100 TB the difference is reading 2 columns of matching row groups
+    vs the whole table."""
+    plan = _plan(entry_mod.queries()["filter_project"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one real filter pushed (not the empty list)
+    assert "PushedFilters: []" not in plan
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 400]
+    assert "l_extendedprice" in read_schema
+    # untouched wide columns must NOT be read
+    assert "l_comment" not in read_schema
+
+
+def test_broadcast_join_broadcasts_the_dimension(spark):
+    """The nation/customer dims must broadcast; the fact side must not
+    shuffle for them."""
+    plan = _plan(entry_mod.queries()["broadcast_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_broadcasts_queries_never_corpus(spark):
+    """similarity_topk must broadcast the QUERY set over a nested-loop
+    join — replicating the corpus is impossible at 100 TB."""
+    df = entry_mod.queries()["similarity_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight", ""
+    ) or "BuildLeft" in plan
+
+
+def test_lsh_guard_is_not_a_sort_window(spark):
+    """The oversized-bucket guard must be an aggregate + anti-join, never
+    a Window.partitionBy(band_key) — the window sort-shuffles every
+    exploded band row (the round-2 dedup_minhash 48 s plan)."""
+    from openccnet_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(lsh_candidate_pairs(minhash_signatures(docs)))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pipeline_has_exactly_one_python_stage(spark):
+    """The fused quality-filter UDF must stay ONE ArrowEvalPython stage:
+    each extra stage spawns its own Python worker per task (local[32]
+    thrashes at 2x workers) and pays an extra Arrow round-trip."""
+    from openccnet_spark.operators.pipeline import quality_filter
+
+    df = quality_filter(spark.read.parquet(f"{SF_DIR}/../sf0.001/documents.parquet").selectExpr(
+        "cast(doc_id as string) conv_id",
+        "cast(doc_id as int) turn_idx",
+        "'user' role",
+        "text",
+        "'' tool",
+        "current_timestamp() ts",
+    ))
+    # "simple" mode: one line per node ("formatted" lists each node twice
+    # — tree + detail section — which would double the count)
+    plan = _plan(df, "simple")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_exact_dedup_prehash_partial_aggregates(spark):
+    """The prehash groupBy must show two-phase (partial then final)
+    hash aggregation — map-side combine is what keeps the shuffle at
+    one row per distinct key per task."""
+    plan = _plan(entry_mod.queries()["dedup_exact_prehash"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "xxhash64" in plan
+
+
+def test_salted_join_carries_salt_in_join_keys(spark):
+    """The salted join must actually join on (key, salt) — otherwise the
+    hot key still lands on one reducer."""
+    from pyspark.sql import functions as F
+
+    from openccnet_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    df = salted_join(li, orders, ["o_orderkey"], F.col("l_linenumber"), n_salt=4)
+    plan = _plan(df)
+    assert "_salt" in plan
