@@ -19,9 +19,14 @@ text corpus:
 * per-font ``/ToUnicode`` CMaps (bfchar + bfrange, 1- and 2-byte codes) for
   CJK (Identity-H etc.); fonts without a CMap decode as Latin-1.
 
-Honest limits (documented, not hidden): no encrypted PDFs, no per-glyph
-positioning reconstruction, non-Flate filters skipped. Unsupported content
-degrades to skipped streams, never to exceptions.
+* RC4-encrypted files with an EMPTY user password (the common
+  permissions-only encryption: standard security handler V1/V2/V4-with-
+  /V2-crypt-filter, ``pdf_crypt.py``) decrypt transparently.
+
+Honest limits (documented, not hidden): AES-encrypted or real-password
+PDFs extract as empty (``encryption_unsupported`` is set), no per-glyph
+positioning reconstruction, non-Flate filters skipped. Unsupported
+content degrades to skipped streams, never to exceptions.
 
 Spark integration mirrors the office source: one ``binaryFile`` scan ->
 ``mapInPandas`` -> one row per page. PDFs parallelize by file; page payloads
@@ -243,6 +248,13 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}  # raw (still encoded) stream data
+        self.gens: dict[int, int] = {}  # object generations (per-object keys)
+        self.trailers: list[dict] = []  # trailer / xref-stream dicts
+        self._plain_objects: set[int] = set()  # never-encrypted objects
+        self._file_key: bytes | None = None
+        #: True when the file is encrypted in a way this reader does not
+        #: support (AES, a real password): pages degrade to empty, honestly
+        self.encryption_unsupported = False
         self._cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
         loaded = False
         try:
@@ -250,6 +262,7 @@ class PdfDocument:
         except Exception:
             loaded = False
         if loaded:
+            self._setup_encryption()
             self._expand_object_streams()
             if not self._has_catalog():
                 # xref chain parsed but didn't reach a usable document —
@@ -257,13 +270,71 @@ class PdfDocument:
                 loaded = False
                 self.objects.clear()
                 self.streams.clear()
+                self.gens.clear()
+                self.trailers.clear()
+                self._plain_objects.clear()
+                self._file_key = None
+                self.encryption_unsupported = False
                 self._cmap_cache.clear()
         if not loaded:
             self._scan_objects()
+            self._setup_encryption()
             self._expand_object_streams()
         #: True when the object table came from the xref table/stream path
         #: (O(objects)) rather than the O(file) full scan fallback
         self.xref_loaded = loaded
+
+    def _setup_encryption(self):
+        """Standard-security-handler setup (empty user password, RC4).
+        Runs BEFORE object-stream expansion: ObjStm payloads decrypt as
+        streams; their contained objects are not separately encrypted."""
+        from .pdf_crypt import authenticate_user_password
+
+        enc_ref = id0 = None
+        for tr in self.trailers:
+            if "Encrypt" in tr:
+                enc_ref = tr["Encrypt"]
+                ids = self.resolve(tr.get("ID"))
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    id0 = bytes(ids[0])
+                break
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, Ref):
+            self._plain_objects.add(enc_ref.num)  # never decrypted
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or str(enc.get("Filter", "")) != "Standard":
+            self.encryption_unsupported = True
+            return
+        v = self.resolve(enc.get("V", 0))
+        r = self.resolve(enc.get("R", 2))
+        if v == 4:
+            # crypt filters: only the RC4 (/CFM /V2) stream filter is in scope
+            cf = self.resolve(enc.get("CF")) or {}
+            stmf = str(self.resolve(enc.get("StmF", Name("Identity"))))
+            c = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            cfm = str(self.resolve(c.get("CFM", ""))) if isinstance(c, dict) else ""
+            if cfm != "V2":
+                self.encryption_unsupported = True  # AESV2 etc.
+                return
+        elif v not in (1, 2):
+            self.encryption_unsupported = True
+            return
+        length = int(self.resolve(enc.get("Length", 40)) or 40) // 8
+        if v == 1:
+            length = 5
+        o = bytes(self.resolve(enc.get("O")) or b"")
+        u = bytes(self.resolve(enc.get("U")) or b"")
+        p = int(self.resolve(enc.get("P", -1)))
+        em = self.resolve(enc.get("EncryptMetadata", True))
+        key = authenticate_user_password(
+            b"", o, u, p, id0 or b"", int(r), length, bool(em)
+        )
+        if key is None:
+            # a real (non-empty) user password: honestly unreadable
+            self.encryption_unsupported = True
+            return
+        self._file_key = key
 
     def _has_catalog(self) -> bool:
         return any(
@@ -286,12 +357,25 @@ class PdfDocument:
             except Exception:
                 continue
             self.objects[num] = value
+            self.gens[num] = int(m.group(2))
             # stream payload? sliced AFTER the full pass so an indirect
             # /Length defined later in the file still resolves exactly
             rest = d[lex.pos : lex.pos + 32]
             sm = re.match(rb"\s*stream(\r\n|\n|\r)", rest)
             if sm and isinstance(value, dict):
                 pending.append((num, value, lex.pos + sm.end()))
+        # trailers (Encrypt/ID live there); xref-stream dicts count too
+        for m in re.finditer(rb"trailer\b", d):
+            try:
+                t = _Lexer(d, m.end()).next_token()
+            except Exception:
+                continue
+            if isinstance(t, dict):
+                self.trailers.append(t)
+        for num, obj in self.objects.items():
+            if isinstance(obj, dict) and str(obj.get("Type", "")) == "XRef":
+                self.trailers.append(obj)
+                self._plain_objects.add(num)  # xref streams are never encrypted
         self._slice_streams(pending)
 
     def _slice_streams(self, pending: list[tuple[int, dict, int]]):
@@ -336,6 +420,7 @@ class PdfDocument:
         except Exception:
             return
         self.objects[num] = value
+        self.gens[num] = int(m.group(2))
         rest = self.data[lex.pos : lex.pos + 32]
         sm = re.match(rb"\s*stream(\r\n|\n|\r)", rest)
         if sm and isinstance(value, dict):
@@ -400,6 +485,7 @@ class PdfDocument:
         trailer = _Lexer(d, tm.end()).next_token()
         if not isinstance(trailer, dict):
             return False
+        self.trailers.append(trailer)
         for off in offsets:
             self._parse_object_at(off, pending)
         prev = trailer.get("Prev")
@@ -433,6 +519,8 @@ class PdfDocument:
         start = lex.pos + sm.end()
         self.objects.setdefault(num, info)
         self.streams.setdefault(num, d[start : start + length])
+        self.trailers.append(info)  # xref-stream dict carries Root/Encrypt/ID
+        self._plain_objects.add(num)  # xref streams are never encrypted
         payload = self.stream_bytes(num)
         w = info.get("W")
         size = info.get("Size")
@@ -494,6 +582,10 @@ class PdfDocument:
         info = self.objects.get(num)
         if raw is None or not isinstance(info, dict):
             return b""
+        if self._file_key is not None and num not in self._plain_objects:
+            from .pdf_crypt import object_key, rc4
+
+            raw = rc4(object_key(self._file_key, num, self.gens.get(num, 0)), raw)
         filt = self.resolve(info.get("Filter"))
         filters = [filt] if not isinstance(filt, list) else list(filt)
         parms = self.resolve(info.get("DecodeParms"))

@@ -16,10 +16,14 @@ def _obj(num: int, body: bytes) -> bytes:
     return b"%d 0 obj\n" % num + body + b"\nendobj\n"
 
 
-def _stream_obj(num: int, payload: bytes, extra: bytes = b"", compress: bool = False) -> bytes:
+def _stream_obj(
+    num: int, payload: bytes, extra: bytes = b"", compress: bool = False, enc=None
+) -> bytes:
     if compress:
         payload = zlib.compress(payload)
         extra += b" /Filter /FlateDecode"
+    if enc is not None:
+        payload = enc(num, payload)  # encryption applies to the FINAL bytes
     head = b"<< /Length %d%s >>\nstream\n" % (len(payload), extra)
     return _obj(num, head + payload + b"\nendstream")
 
@@ -40,7 +44,9 @@ def _tounicode_identity() -> bytes:
     )
 
 
-def _build_objects(pages: list[list[str]], cjk: bool, compress: bool) -> dict[int, bytes]:
+def _build_objects(
+    pages: list[list[str]], cjk: bool, compress: bool, enc=None
+) -> dict[int, bytes]:
     """The shared object set (catalog/pages/font/contents) of one PDF."""
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
@@ -56,7 +62,7 @@ def _build_objects(pages: list[list[str]], cjk: bool, compress: bool) -> dict[in
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity"
             b" /Encoding /Identity-H /ToUnicode 4 0 R >>",
         )
-        objects[4] = _stream_obj(4, _tounicode_identity(), compress=compress)
+        objects[4] = _stream_obj(4, _tounicode_identity(), compress=compress, enc=enc)
     else:
         objects[3] = _obj(
             3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -82,7 +88,7 @@ def _build_objects(pages: list[list[str]], cjk: bool, compress: bool) -> dict[in
             b" /Resources << /Font << /F1 3 0 R >> >>"
             b" /Contents %d 0 R >>" % content_num,
         )
-        objects[content_num] = _stream_obj(content_num, content, compress=compress)
+        objects[content_num] = _stream_obj(content_num, content, compress=compress, enc=enc)
     return objects
 
 
@@ -151,4 +157,62 @@ def build_pdf_xrefstream(
     )
     out += _obj(xref_num, head + payload + b"\nendstream")
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+def build_pdf_encrypted(
+    pages: list[list[str]],
+    cjk: bool = True,
+    compress: bool = True,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner-secret",
+) -> bytes:
+    """Same document as ``build_pdf`` but RC4-encrypted with the standard
+    security handler (V2/R3, 128-bit) — by default with an EMPTY user
+    password, the common permissions-only encryption the reader must
+    decrypt transparently. A non-empty ``user_pw`` produces a file the
+    reader must treat as honestly unreadable."""
+    import hashlib
+
+    from .pdf_crypt import (
+        compute_file_key,
+        compute_o_entry,
+        compute_u_entry,
+        object_key,
+        rc4,
+    )
+
+    revision, keylen, p = 3, 16, -44
+    id0 = hashlib.md5(b"openccnet-synth-encrypted-id").digest()
+    o = compute_o_entry(owner_pw, user_pw, revision, keylen)
+    key = compute_file_key(user_pw, o, p, id0, revision, keylen)
+    u = compute_u_entry(key, id0, revision)
+
+    def enc(num: int, payload: bytes) -> bytes:
+        return rc4(object_key(key, num, 0), payload)
+
+    objects = _build_objects(pages, cjk, compress, enc=enc)
+    enc_num = max(objects) + 1
+    objects[enc_num] = _obj(
+        enc_num,
+        b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
+        % (p, o.hex().encode(), u.hex().encode()),
+    )
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    max_num = max(objects)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    idhex = id0.hex().encode()
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, enc_num, idhex, idhex, xref_pos)
+    )
     return bytes(out)
