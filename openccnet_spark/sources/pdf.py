@@ -19,14 +19,19 @@ text corpus:
 * per-font ``/ToUnicode`` CMaps (bfchar + bfrange, 1- and 2-byte codes) for
   CJK (Identity-H etc.); fonts without a CMap decode as Latin-1.
 
-* RC4-encrypted files with an EMPTY user password (the common
-  permissions-only encryption: standard security handler V1/V2/V4-with-
-  /V2-crypt-filter, ``pdf_crypt.py``) decrypt transparently.
+* encrypted files with an EMPTY user password (the common
+  permissions-only encryption) decrypt transparently: standard security
+  handler RC4 (V1/V2/V4 /V2), AES-128 (V4 /AESV2) and AES-256 (V5
+  revisions 5/6 incl. the Algorithm 2.B iterated hash) —
+  ``pdf_crypt.py`` + the pure-Python FIPS-197 AES in ``pdf_aes.py``;
+* all four auxiliary stream filters beyond Flate: ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode, LZWDecode (9-12 bit, EarlyChange).
 
-Honest limits (documented, not hidden): AES-encrypted or real-password
-PDFs extract as empty (``encryption_unsupported`` is set), no per-glyph
-positioning reconstruction, non-Flate filters skipped. Unsupported
-content degrades to skipped streams, never to exceptions.
+Honest limits (documented, not hidden): real-password PDFs extract as
+empty (``encryption_unsupported`` is set), no per-glyph positioning
+reconstruction, JBIG2/DCT/image filters skipped (image data carries no
+extractable text). Unsupported content degrades to skipped streams,
+never to exceptions.
 
 Spark integration mirrors the office source: one ``binaryFile`` scan ->
 ``mapInPandas`` -> one row per page. PDFs parallelize by file; page payloads
@@ -238,6 +243,108 @@ class _Lexer:
         return out
 
 
+# --- stream filters (PDF 7.4; FlateDecode uses zlib directly) -----------------
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data)
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    if data.startswith(b"<~"):
+        data = data[2:]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z' == four zero bytes, only between groups
+            if group:
+                raise ValueError("z inside ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= c <= 0x75):
+            raise ValueError("bad ascii85 byte")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:  # partial final group: pad with 'u', drop pad bytes
+        k = len(group)
+        group += [84] * (5 - k)
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            out += bytes([data[i]]) * (257 - l)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: 9->12 bit codes MSB-first, 256=clear, 257=EOD,
+    code width bumps one code early when EarlyChange=1 (the default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -252,6 +359,7 @@ class PdfDocument:
         self.trailers: list[dict] = []  # trailer / xref-stream dicts
         self._plain_objects: set[int] = set()  # never-encrypted objects
         self._file_key: bytes | None = None
+        self._cipher = "rc4"  # rc4 | aes_v4 (AES-128) | aes_v5 (AES-256)
         #: True when the file is encrypted in a way this reader does not
         #: support (AES, a real password): pages degrade to empty, honestly
         self.encryption_unsupported = False
@@ -274,6 +382,7 @@ class PdfDocument:
                 self.trailers.clear()
                 self._plain_objects.clear()
                 self._file_key = None
+                self._cipher = "rc4"
                 self.encryption_unsupported = False
                 self._cmap_cache.clear()
         if not loaded:
@@ -308,14 +417,30 @@ class PdfDocument:
             return
         v = self.resolve(enc.get("V", 0))
         r = self.resolve(enc.get("R", 2))
+        o = bytes(self.resolve(enc.get("O")) or b"")
+        u = bytes(self.resolve(enc.get("U")) or b"")
+        p = int(self.resolve(enc.get("P", -1)))
+        em = self.resolve(enc.get("EncryptMetadata", True))
+        if v == 5:  # AES-256 (revision 5/6)
+            from .pdf_crypt import authenticate_user_password_v5
+
+            ue = bytes(self.resolve(enc.get("UE")) or b"")
+            key = authenticate_user_password_v5(b"", u, ue, int(r))
+            if key is None:
+                self.encryption_unsupported = True  # real password
+                return
+            self._file_key = key
+            self._cipher = "aes_v5"
+            return
+        cfm = ""
         if v == 4:
-            # crypt filters: only the RC4 (/CFM /V2) stream filter is in scope
+            # crypt filters: RC4 (/V2) and AES-128 (/AESV2) are in scope
             cf = self.resolve(enc.get("CF")) or {}
             stmf = str(self.resolve(enc.get("StmF", Name("Identity"))))
             c = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
             cfm = str(self.resolve(c.get("CFM", ""))) if isinstance(c, dict) else ""
-            if cfm != "V2":
-                self.encryption_unsupported = True  # AESV2 etc.
+            if cfm not in ("V2", "AESV2"):
+                self.encryption_unsupported = True
                 return
         elif v not in (1, 2):
             self.encryption_unsupported = True
@@ -323,10 +448,6 @@ class PdfDocument:
         length = int(self.resolve(enc.get("Length", 40)) or 40) // 8
         if v == 1:
             length = 5
-        o = bytes(self.resolve(enc.get("O")) or b"")
-        u = bytes(self.resolve(enc.get("U")) or b"")
-        p = int(self.resolve(enc.get("P", -1)))
-        em = self.resolve(enc.get("EncryptMetadata", True))
         key = authenticate_user_password(
             b"", o, u, p, id0 or b"", int(r), length, bool(em)
         )
@@ -335,6 +456,7 @@ class PdfDocument:
             self.encryption_unsupported = True
             return
         self._file_key = key
+        self._cipher = "aes_v4" if cfm == "AESV2" else "rc4"
 
     def _has_catalog(self) -> bool:
         return any(
@@ -585,7 +707,21 @@ class PdfDocument:
         if self._file_key is not None and num not in self._plain_objects:
             from .pdf_crypt import object_key, rc4
 
-            raw = rc4(object_key(self._file_key, num, self.gens.get(num, 0)), raw)
+            if self._cipher == "rc4":
+                raw = rc4(object_key(self._file_key, num, self.gens.get(num, 0)), raw)
+            else:
+                from .pdf_aes import cbc_decrypt, strip_pkcs7
+
+                k = (
+                    self._file_key  # V5: the file key encrypts every object
+                    if self._cipher == "aes_v5"
+                    else object_key(
+                        self._file_key, num, self.gens.get(num, 0), aes=True
+                    )
+                )
+                if len(raw) < 16:
+                    return b""
+                raw = strip_pkcs7(cbc_decrypt(k, raw[:16], raw[16:]))
         filt = self.resolve(info.get("Filter"))
         filters = [filt] if not isinstance(filt, list) else list(filt)
         parms = self.resolve(info.get("DecodeParms"))
@@ -595,16 +731,29 @@ class PdfDocument:
             f = self.resolve(f)
             if f is None:
                 continue
-            if str(f) == "FlateDecode":
-                try:
+            name = str(f)
+            p = self.resolve(parms_list[i]) if i < len(parms_list) else None
+            try:
+                if name == "FlateDecode":
                     out = zlib.decompress(out)
-                except zlib.error:
-                    return b""
-                p = self.resolve(parms_list[i]) if i < len(parms_list) else None
-                if isinstance(p, dict):
-                    out = self._unpredict(out, p)
-            else:
-                return b""  # unsupported filter: skip stream honestly
+                elif name in ("ASCIIHexDecode", "AHx"):
+                    out = _asciihex_decode(out)
+                elif name in ("ASCII85Decode", "A85"):
+                    out = _ascii85_decode(out)
+                elif name in ("RunLengthDecode", "RL"):
+                    out = _runlength_decode(out)
+                elif name in ("LZWDecode", "LZW"):
+                    early = 1
+                    if isinstance(p, dict):
+                        e = self.resolve(p.get("EarlyChange", 1))
+                        early = int(e) if isinstance(e, int) else 1
+                    out = _lzw_decode(out, early)
+                else:
+                    return b""  # unsupported filter: skip stream honestly
+            except Exception:
+                return b""  # corrupt data: skip stream honestly
+            if name in ("FlateDecode", "LZWDecode", "LZW") and isinstance(p, dict):
+                out = self._unpredict(out, p)
         return out
 
     def _unpredict(self, data: bytes, parms: dict) -> bytes:

@@ -119,9 +119,52 @@ def authenticate_user_password(
     return key if ok else None
 
 
-def object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Per-object RC4 key (PDF 1.7 Algorithm 1, no AES salt)."""
+def object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Per-object key (PDF 1.7 Algorithm 1; AES appends the 'sAlT' bytes)."""
     h = hashlib.md5(
-        file_key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+# --- revision 5/6 (AES-256, /V 5) -------------------------------------------
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes, revision: int = 6) -> bytes:
+    """PDF 2.0 Algorithm 2.B (revision 6 iterated hash; revision 5 is a
+    single SHA-256). Needs AES-128-CBC ENCRYPTION for the iteration."""
+    from .pdf_aes import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    if revision < 6:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        mod = int.from_bytes(e[:16], "big") % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def authenticate_user_password_v5(
+    user_pw: bytes, u_entry: bytes, ue_entry: bytes, revision: int
+) -> bytes | None:
+    """PDF 2.0 Algorithm 2.A, user-password path: the 32-byte file key if
+    ``user_pw`` validates against the 48-byte /U, decrypted from /UE."""
+    from .pdf_aes import cbc_decrypt
+
+    u = bytes(u_entry)
+    if len(u) < 48:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if hash_2b(user_pw, vsalt, b"", revision) != u[:32]:
+        return None
+    intermediate = hash_2b(user_pw, ksalt, b"", revision)
+    # AES-256-CBC, zero IV, NO padding (the payload is exactly 32 bytes)
+    return cbc_decrypt(intermediate, b"\x00" * 16, bytes(ue_entry))[:32]

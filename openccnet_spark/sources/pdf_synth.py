@@ -166,38 +166,96 @@ def build_pdf_encrypted(
     compress: bool = True,
     user_pw: bytes = b"",
     owner_pw: bytes = b"owner-secret",
+    method: str = "rc4",
 ) -> bytes:
-    """Same document as ``build_pdf`` but RC4-encrypted with the standard
-    security handler (V2/R3, 128-bit) — by default with an EMPTY user
-    password, the common permissions-only encryption the reader must
-    decrypt transparently. A non-empty ``user_pw`` produces a file the
-    reader must treat as honestly unreadable."""
+    """Same document as ``build_pdf`` but encrypted with the standard
+    security handler — by default with an EMPTY user password, the common
+    permissions-only encryption the reader must decrypt transparently.
+    ``method``: "rc4" (V2/R3 128-bit), "aesv2" (V4/R4 AES-128 crypt
+    filter) or "aesv3" (V5/R6 AES-256, Algorithm 2.B key derivation).
+    A non-empty ``user_pw`` produces a file the reader must treat as
+    honestly unreadable."""
     import hashlib
 
+    from .pdf_aes import cbc_encrypt
     from .pdf_crypt import (
         compute_file_key,
         compute_o_entry,
         compute_u_entry,
+        hash_2b,
         object_key,
         rc4,
     )
 
-    revision, keylen, p = 3, 16, -44
+    p = -44
     id0 = hashlib.md5(b"openccnet-synth-encrypted-id").digest()
-    o = compute_o_entry(owner_pw, user_pw, revision, keylen)
-    key = compute_file_key(user_pw, o, p, id0, revision, keylen)
-    u = compute_u_entry(key, id0, revision)
 
-    def enc(num: int, payload: bytes) -> bytes:
-        return rc4(object_key(key, num, 0), payload)
+    def _pad16(b: bytes) -> bytes:
+        n = 16 - len(b) % 16
+        return b + bytes([n]) * n
+
+    def _iv(num: int) -> bytes:  # deterministic per-object IV for the fixture
+        return hashlib.md5(b"iv%d" % num).digest()
+
+    if method == "aesv3":
+        revision = 6
+        key = hashlib.sha256(b"openccnet-synth-aes256-file-key").digest()
+        vsalt, ksalt = b"VSALT001", b"KSALT001"
+        u = hash_2b(user_pw, vsalt, b"", revision) + vsalt + ksalt
+        intermediate = hash_2b(user_pw, ksalt, b"", revision)
+        ue = cbc_encrypt(intermediate, b"\x00" * 16, key)
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /OE <%s> /U <%s> /UE <%s> /Perms <%s> >>"
+            % (
+                p,
+                (b"\x11" * 48).hex().encode(),  # owner path unused by the reader
+                (b"\x22" * 32).hex().encode(),
+                u.hex().encode(),
+                ue.hex().encode(),
+                (b"\x33" * 16).hex().encode(),
+            )
+        )
+
+        def enc(num: int, payload: bytes) -> bytes:
+            iv = _iv(num)
+            return iv + cbc_encrypt(key, iv, _pad16(payload))
+
+    elif method == "aesv2":
+        revision, keylen = 4, 16
+        o = compute_o_entry(owner_pw, user_pw, revision, keylen)
+        key = compute_file_key(user_pw, o, p, id0, revision, keylen)
+        u = compute_u_entry(key, id0, revision)
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /O <%s> /U <%s> >>"
+            % (p, o.hex().encode(), u.hex().encode())
+        )
+
+        def enc(num: int, payload: bytes) -> bytes:
+            k = object_key(key, num, 0, aes=True)
+            iv = _iv(num)
+            return iv + cbc_encrypt(k, iv, _pad16(payload))
+
+    else:
+        revision, keylen = 3, 16
+        o = compute_o_entry(owner_pw, user_pw, revision, keylen)
+        key = compute_file_key(user_pw, o, p, id0, revision, keylen)
+        u = compute_u_entry(key, id0, revision)
+        enc_dict = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
+            % (p, o.hex().encode(), u.hex().encode())
+        )
+
+        def enc(num: int, payload: bytes) -> bytes:
+            return rc4(object_key(key, num, 0), payload)
 
     objects = _build_objects(pages, cjk, compress, enc=enc)
     enc_num = max(objects) + 1
-    objects[enc_num] = _obj(
-        enc_num,
-        b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
-        % (p, o.hex().encode(), u.hex().encode()),
-    )
+    objects[enc_num] = _obj(enc_num, enc_dict)
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):

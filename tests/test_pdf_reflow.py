@@ -161,36 +161,110 @@ def test_xref_stream_predictor_path():
     assert extract_pdf_text(xs) == extract_pdf_text(build_pdf(pages))
 
 
-def test_rc4_encrypted_pdf_decrypts_transparently():
-    """Standard-security-handler RC4 with an EMPTY user password (the
-    common permissions-only encryption): extraction must equal the
-    unencrypted document byte-for-byte; the encrypted bytes themselves
-    must not contain the plaintext streams."""
-    import zlib
+import pytest as _pytest
 
+
+@_pytest.mark.parametrize("method", ["rc4", "aesv2", "aesv3"])
+def test_encrypted_pdf_decrypts_transparently(method):
+    """Standard security handler with an EMPTY user password (the common
+    permissions-only encryption), all three cipher generations — RC4
+    (V2/R3), AES-128 (V4/R4 /AESV2), AES-256 (V5/R6 with the Algorithm
+    2.B iterated hash): extraction must equal the unencrypted document;
+    the file must not contain the plaintext streams."""
     from openccnet_spark.sources.pdf import PdfDocument
     from openccnet_spark.sources.pdf_synth import build_pdf, build_pdf_encrypted
 
     pages = [["他走在路上，忽然看见", "一个熟悉的身影。"], ["第二页内容。"]]
     plain = build_pdf(pages)
-    enc = build_pdf_encrypted(pages)
+    enc = build_pdf_encrypted(pages, method=method)
     doc = PdfDocument(enc)
     assert doc._file_key is not None and not doc.encryption_unsupported
     assert extract_pdf_text(enc) == extract_pdf_text(plain)
-    # the ciphertext really is different from the plaintext stream bytes
+    import zlib
+
     assert zlib.compress(b"BT /F1 12 Tf 72 720 Td") not in enc
 
 
-def test_real_password_pdf_degrades_honestly():
+@_pytest.mark.parametrize("method", ["rc4", "aesv2", "aesv3"])
+def test_real_password_pdf_degrades_honestly(method):
     """A non-empty user password is out of scope: the document must mark
     itself unsupported and extract as empty — never garbage."""
     from openccnet_spark.sources.pdf import PdfDocument
     from openccnet_spark.sources.pdf_synth import build_pdf_encrypted
 
-    locked = build_pdf_encrypted([["秘密内容"]], user_pw=b"secret")
+    locked = build_pdf_encrypted([["秘密内容"]], user_pw=b"secret", method=method)
     doc = PdfDocument(locked)
     assert doc.encryption_unsupported is True
     assert extract_pdf_text(locked).strip() == ""
+
+
+def test_aes_fips_vectors():
+    """The pure-Python AES must match the FIPS-197 appendix C vectors."""
+    from openccnet_spark.sources.pdf_aes import (
+        cbc_decrypt,
+        cbc_encrypt,
+        decrypt_block,
+        encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = {
+        bytes(range(16)): "69c4e0d86a7b0430d8cdb78070b4c55a",
+        bytes(range(24)): "dda97ca4864cdfe06eaf70a0ec0d7191",
+        bytes(range(32)): "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for key, ct in vectors.items():
+        assert encrypt_block(key, pt).hex() == ct
+        assert decrypt_block(key, bytes.fromhex(ct)) == pt
+    iv = bytes(range(16))
+    data = b"0123456789abcdef" * 3
+    assert cbc_decrypt(bytes(range(32)), iv, cbc_encrypt(bytes(range(32)), iv, data)) == data
+
+
+def test_auxiliary_stream_filters():
+    """ASCIIHex / ASCII85 / RunLength / LZW decode, incl. a full PDF whose
+    content stream is ASCII85(Flate(...)) — a filter CHAIN."""
+    import base64
+    import zlib
+
+    from openccnet_spark.sources.pdf import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _lzw_decode,
+        _runlength_decode,
+    )
+
+    assert _asciihex_decode(b"48 65 6C6C 6F>") == b"Hello"
+    for payload in (b"hello world", b"\x00\x00\x00\x00abc", bytes(range(97))):
+        assert _ascii85_decode(base64.a85encode(payload, adobe=True)) == payload
+    assert _runlength_decode(b"\x02abc\xfeZ\x80") == b"abcZZZ"
+    # LZW: clear + literals + EOD, hand-packed 9-bit codes
+    codes = [256, ord("a"), ord("b"), 257]
+    acc = n = 0
+    packed = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        n += 9
+        while n >= 8:
+            packed.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        packed.append((acc << (8 - n)) & 0xFF)
+    assert _lzw_decode(bytes(packed)) == b"ab"
+    # end-to-end chain: content stream stored as ASCII85(Flate(ops))
+    ops = b"BT (chained filters) Tj ET"
+    payload = base64.a85encode(zlib.compress(ops)) + b"~>"
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+        % len(payload)
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == "chained filters\n\n"
 
 
 def test_rc4_roundtrip_and_algorithm_vectors():
