@@ -142,6 +142,34 @@ def _q_convert_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSTD_BUNDLE = "/root/reference/OpenccNetLib/dicts/dictionary_maxlength.zstd"
+
+
+def _q_bundle_zstd_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's published Zstd-compressed bundle, decoded by the
+    pure-Python RFC 8878 decompressor (zstd_decode.py) INSIDE the Spark
+    workers, must convert the golden set identically to the compiled
+    bundle — the whole zstd + bundle-interop path, driver-checked."""
+    from openccnet_spark.functions import convert_udf
+
+    rows = [
+        (i, c, p, t) for i, (c, p, t, _e) in enumerate(CONVERT_GOLDENS)
+    ]
+    df = spark.createDataFrame(rows, "case_id int, config string, punct boolean, input string")
+    # one UDF per config (the bundle-path converter is config-static);
+    # goldens are few, so a CASE over per-config UDF columns is fine
+    out = None
+    for config in sorted({c for _i, c, _p, _t in rows}):
+        for punct in (False, True):
+            sub = df.filter((F.col("config") == config) & (F.col("punct") == F.lit(punct)))
+            conv = sub.select(
+                "case_id", "config",
+                convert_udf(config, punct=punct, bundle_path=_ZSTD_BUNDLE)("input").alias("output"),
+            )
+            out = conv if out is None else out.unionByName(conv)
+    return out
+
+
 def _q_zho_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, t) for i, (t, _e) in enumerate(ZHO_CHECK_GOLDENS)]
     df = spark.createDataFrame(rows, "case_id int, input string")
@@ -920,6 +948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": _armed(_q_quality_documents),
         "convert_goldens": _armed(_q_convert_goldens),
         "zho_check_goldens": _armed(_q_zho_check),
+        **(
+            {"bundle_zstd_convert": _armed(_q_bundle_zstd_convert)}
+            if os.path.exists(_ZSTD_BUNDLE)
+            else {}
+        ),
         "metrics_rollup": _armed(_q_metrics_rollup),
         "filter_project": _armed(_q_filter_project),
         "broadcast_join": _armed(_q_broadcast_join),
@@ -1050,6 +1083,14 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_transcripts": _pipeline_oracle("sf0.01"),
         "quality_documents": _quality_documents_oracle(),
         "convert_goldens": _convert_goldens_oracle(),
+        # the zstd-loaded bundle must produce the SAME goldens (the
+        # expected literals ARE the independent check — they were written
+        # against the reference's own outputs)
+        **(
+            {"bundle_zstd_convert": _convert_goldens_oracle()}
+            if os.path.exists(_ZSTD_BUNDLE)
+            else {}
+        ),
         "zho_check_goldens": _zho_oracle(),
         "metrics_rollup": """
 SELECT l_returnflag, l_linestatus,

@@ -28,9 +28,18 @@ from ..dictionary import load_bundle, parse_dict_text
 
 
 @lru_cache(maxsize=32)
-def _worker_converter(custom_key: tuple | None = None) -> Converter:
-    """Per-worker Converter. ``custom_key`` = tuple of (slot, mode, text)."""
-    bundle = load_bundle()
+def _worker_converter(
+    custom_key: tuple | None = None, bundle_path: str | None = None
+) -> Converter:
+    """Per-worker Converter. ``custom_key`` = tuple of (slot, mode, text);
+    ``bundle_path`` loads a reference-format bundle file (json/cbor/zstd
+    via ``bundle_interop``) instead of the compiled artifact."""
+    if bundle_path:
+        from ..bundle_interop import load_reference_bundle
+
+        bundle = load_reference_bundle(bundle_path)
+    else:
+        bundle = load_bundle()
     if custom_key:
         overrides: dict = {}
         appends: dict = {}
@@ -55,16 +64,18 @@ def convert_udf(
     normalize_compat: bool = False,
     detofu_level: int | None = None,
     custom: list | None = None,
+    bundle_path: str | None = None,
 ):
     """O1/O2 as a vectorized UDF, with the CLI pipeline order baked in
     (reference ``ConvertCommand.cs:211-301``): NormalizeCompat (optional)
-    -> Convert rounds -> DeTofu (optional).
+    -> Convert rounds -> DeTofu (optional). ``bundle_path`` swaps the
+    compiled bundle for a reference-format file (json/cbor/zstd).
     """
     key = _freeze_custom(custom)
 
     @F.pandas_udf(StringType())
     def _convert(s: pd.Series) -> pd.Series:
-        cc = _worker_converter(key)
+        cc = _worker_converter(key, bundle_path)
 
         def one(text):
             if text is None:
