@@ -178,6 +178,19 @@ def _run_to_noop(df) -> float:
     return dt
 
 
+def _time_query(build) -> float:
+    """Time CONSTRUCTION + execution: iterative queries (connected
+    components) run driver-controlled jobs while the DataFrame is being
+    built, so timing only the final write would report near-zero."""
+    t0 = time.perf_counter()
+    df = build()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    for h in getattr(df, "_persist_handles", ()):
+        h.unpersist()
+    return dt
+
+
 def _bench_pipeline(spark, transcripts_path: str, partitions: int | None) -> float:
     """partitions=None -> no salted repartition: the input parquet is
     uniformly partitioned (as an Iceberg write distribution would be), so
@@ -395,7 +408,17 @@ def main() -> int:
                 scale_high_exec = min(exec_times[n_exec_high])
                 hw_effs.append(_hw_control_efficiency(cores_low, cores_high))
                 hw_eff = max(hw_effs)  # best window seen: the silicon bound
-                workload_ctrl = min(ctrl_times[cores_low]) / min(ctrl_times[cores_high])
+                # control ratio: MEDIAN of per-rep PAIRED ratios (each
+                # pair measured adjacently in one window). Pairing minima
+                # across different reps — like the Spark estimator does —
+                # is wrong for the control: one super-clean high-side
+                # window sticks the ratio above 1.0 forever even though
+                # every individual window was sane.
+                per_rep = sorted(
+                    a / b
+                    for a, b in zip(ctrl_times[cores_low], ctrl_times[cores_high])
+                )
+                workload_ctrl = per_rep[len(per_rep) // 2]
                 thr_ratio = scale_low / scale_high_exec  # same input both sides
                 # steal% during the reps that PRODUCED each side's min —
                 # if the hypervisor stole cycles in those windows, the
@@ -492,8 +515,8 @@ def main() -> int:
         ):
             queries[name] = round(
                 min(
-                    _run_to_noop(q[name](spark, SF_DIR)),
-                    _run_to_noop(q[name](spark, SF_DIR)),
+                    _time_query(lambda: q[name](spark, SF_DIR)),
+                    _time_query(lambda: q[name](spark, SF_DIR)),
                 ),
                 3,
             )
@@ -508,10 +531,10 @@ def main() -> int:
             # base measured on the SAME salted shape at mult=1 so the
             # per-row ratio compares like against like
             t1 = min(
-                _run_to_noop(fn(spark, SF_DIR, 1)),
-                _run_to_noop(fn(spark, SF_DIR, 1)),
+                _time_query(lambda: fn(spark, SF_DIR, 1)),
+                _time_query(lambda: fn(spark, SF_DIR, 1)),
             )
-            t_m = _run_to_noop(fn(spark, SF_DIR, FAMILY_MULT))
+            t_m = _time_query(lambda: fn(spark, SF_DIR, FAMILY_MULT))
             queries[f"{name}_x1"] = round(t1, 3)
             queries[f"{name}_x{FAMILY_MULT}"] = round(t_m, 3)
             # perrow ~1.0 = linear growth; > 1 = superlinear (a quadratic
