@@ -58,3 +58,12 @@ def test_entry_smoke(spark):
     rows = df.count()
     assert rows > 1000
     assert set(df.columns) >= {"conv_id", "turn_idx", "keep", "drop_reason"}
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    """The driver contract invariant: a query without an oracle silently
+    demotes to a rows-only check; an oracle without a query never runs.
+    Both must fail loudly here instead."""
+    q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert o - q == set(), f"oracles without queries: {o - q}"
+    assert q - o == set(), f"queries without oracles (rows-only!): {q - o}"
