@@ -362,8 +362,28 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     handles: list = []
     pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
-    out = connected_components(pairs)
+    # reliable=True: real checkpoint() (not executor-local blocks), so a
+    # lost executor mid-iteration replays from durable storage — the
+    # setting a multi-hour 100 TB run needs
+    out = connected_components(pairs, reliable=True)
     for h in handles:  # the iteration has materialized everything already
+        h.unpersist()
+    return out
+
+
+def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components contract via alternating large-star/small-star
+    (Kiveris et al.) — O(log n) rounds regardless of component diameter,
+    the variant for adversarial/long-chain duplicate graphs where
+    propagation's O(diameter) bound breaks. Shares the recursive-CTE
+    oracle with `dedup_components` (identical output by definition)."""
+    from openccnet_spark.operators.components import connected_components_star
+    from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+    handles: list = []
+    pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
+    out = connected_components_star(pairs, reliable=True)
+    for h in handles:
         h.unpersist()
     return out
 
@@ -378,7 +398,7 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _mutant_docs(spark, sf_dir)
     handles: list = []
     pairs = minhash_near_duplicates(docs, persist=True, handles=handles)
-    out = canonical_documents(pairs, docs)
+    out = canonical_documents(pairs, docs, reliable=True)
     for h in handles:
         h.unpersist()
     return out
@@ -673,26 +693,57 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language quality-score percentiles (p50/p90/p99) via the
     rank-at-ceil(p*n) definition — integer-exact in both engines (no
-    float interpolation to drift), one sort-shuffle per language."""
-    from pyspark.sql.window import Window
+    float interpolation to drift).
 
+    Scale plan: the naive form (row_number over a per-language sort window)
+    funnels each language's ENTIRE corpus into one reducer task — a
+    scale-killer at 100 TB. The score domain is bounded (integer milli units
+    in [0, 1000]), so the exact same percentiles come window-free from a
+    histogram: groupBy(lang, q).count() is map-side combined down to <= 1001
+    rows per language, a second groupBy collects each language's sorted
+    (q, cnt) array (bounded, never the corpus), and a linear JVM fold reads
+    off q-at-rank-ceil(p*n) as the smallest q whose cumulative count reaches
+    the target rank — identical to the sorted-rank definition because rows
+    tied on q share the same q by construction. No Window anywhere in the
+    plan (pinned by test_plan_hygiene)."""
     from openccnet_spark.operators import textstats as T
 
     docs = _read(spark, sf_dir, "documents")
     q = T.quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
-    wnd = Window.partitionBy("lang").orderBy("q", "doc_id")
-    ranked = (
-        docs.select("lang", q.alias("q"), "doc_id")
-        .withColumn("rn", F.row_number().over(wnd))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    hist = (
+        docs.select("lang", q.alias("q"))
+        .groupBy("lang", "q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    aggs = [
-        F.min(
-            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("q"))
-        ).alias(name)
-        for p, name in ((0.5, "p50_milli"), (0.9, "p90_milli"), (0.99, "p99_milli"))
-    ]
-    return ranked.groupBy("lang").agg(*aggs)
+    per_lang = hist.groupBy("lang").agg(
+        F.sort_array(F.collect_list(F.struct("q", "cnt"))).alias("h"),
+        F.sum("cnt").alias("n"),
+    )
+    targets = {
+        "p50": F.ceil(F.lit(0.5) * F.col("n")),
+        "p90": F.ceil(F.lit(0.9) * F.col("n")),
+        "p99": F.ceil(F.lit(0.99) * F.col("n")),
+    }
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        *[F.lit(None).cast("long").alias(k) for k in targets],
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["cnt"]
+        return F.struct(
+            cum.alias("cum"),
+            *[
+                F.coalesce(acc[k], F.when(cum >= t, x["q"])).alias(k)
+                for k, t in targets.items()
+            ],
+        )
+
+    res = F.aggregate(F.col("h"), zero, step)
+    return per_lang.select(
+        "lang",
+        *[res[k].alias(f"{k}_milli") for k in targets],
+    )
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
         "dedup_simhash": _armed(_q_dedup_simhash),
         "dedup_components": _armed(_q_dedup_components),
+        "dedup_components_star": _armed(_q_dedup_components_star),
         "dedup_canonical": _armed(_q_dedup_canonical),
         "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
@@ -1144,6 +1196,7 @@ FROM d GROUP BY text
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
+        "dedup_components_star": _dedup_components_oracle(),
         "dedup_canonical": _dedup_canonical_oracle(),
         "skew_join_priority": """
 SELECT o.o_orderpriority,

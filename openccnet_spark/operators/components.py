@@ -3,33 +3,65 @@ step that turns pairwise dedup output (MinHash/SimHash/embedding pairs)
 into per-document keep/drop decisions: one canonical document per
 component, everything else dropped.
 
-Algorithm: iterative **min-label propagation**. Every node starts labeled
-with its own id; each round, a node's label becomes the minimum of its own
-and its neighbors' labels; at fixpoint every node carries the smallest id
-in its component. Spark shape per round: one equi-join (edges x labels) +
-one groupBy-min — both shuffle on node ids, with map-side partial
-aggregation; ``localCheckpoint`` after every round cuts the lineage so the
-plan stays O(1) deep regardless of iteration count.
+Two algorithms, same (node, component=min-reachable-id) contract:
 
-Convergence is O(component diameter) rounds. Near-dup clusters are
-shallow (a document, its variants, their variants — diameters of a few),
-so propagation is the right default at any corpus size. For general
-web-scale graphs with long chains, the alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", public literature) converges in O(log n) rounds with the same
-join+min building blocks — a drop-in upgrade documented here for when
-diameters are unbounded.
+* ``connected_components`` — iterative **min-label propagation**. Every
+  node starts labeled with its own id; each round, a node's label becomes
+  the minimum of its own and its neighbors' labels; at fixpoint every node
+  carries the smallest id in its component. Spark shape per round: one
+  equi-join (edges x labels) + one groupBy-min — both shuffle on node ids,
+  with map-side partial aggregation. Convergence is O(component diameter)
+  rounds — the right default for near-dup clusters, whose diameters are a
+  few hops (a document, its variants, their variants).
 
-Fixpoint detection uses the SUM of all labels: labels only ever decrease
-(min of a set including the old value), and they are integers, so an
-unchanged sum between rounds proves no label moved — one cheap aggregate
-on the already-checkpointed frame instead of a self-join diff.
+* ``connected_components_star`` — alternating **large-star / small-star**
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14 — public literature). Each round rewires edges toward per-
+  neighborhood minima: large-star points every larger neighbor of u at
+  m(u) = min(N(u) ∪ {u}); small-star re-orients edges big→small and points
+  each smaller neighborhood (plus u itself) at its minimum. Converges in
+  O(log n) rounds regardless of diameter — the choice for adversarial /
+  long-chain graphs where propagation's O(diameter) bound breaks (pinned
+  by a 1,000-node path-graph test).
+
+Checkpointing: every round materializes + cuts lineage so the plan stays
+O(1) deep. ``reliable=False`` uses ``localCheckpoint`` (executor-local
+blocks — fastest, but a lost executor loses them and fails the iteration
+late). ``reliable=True`` uses real ``checkpoint()`` into
+``spark.sparkContext.setCheckpointDir`` storage (HDFS/object store on a
+cluster), which survives executor loss — the correct setting for real
+multi-hour 100 TB runs. If no checkpoint dir is configured, a local
+temporary one is set (fine on local[*]; a cluster job should point it at
+durable storage).
+
+Fixpoint detection (propagation) uses the SUM of all labels: labels only
+ever decrease (min of a set including the old value), and they are
+integers, so an unchanged sum between rounds proves no label moved — one
+cheap aggregate on the already-checkpointed frame instead of a self-join
+diff. The star variant compares an order-insensitive 64-bit edge-set
+digest (count + XOR of xxhash64(u, v); edges are distinct so XOR is a
+set digest, and unlike sum it cannot ANSI-overflow) between rounds: the edge set is
+provably stable at the star fixpoint, and the digest is deterministic.
 """
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _checkpointer(df: DataFrame, reliable: bool):
+    """Materialize + cut lineage: localCheckpoint (fast, executor-local)
+    or reliable checkpoint (survives executor loss; requires a checkpoint
+    dir — auto-set to a temp dir when unset, for local[*] use)."""
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="openccnet-ckpt-"))
+    return df.checkpoint()
 
 
 def connected_components(
@@ -37,10 +69,13 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 30,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; ``component`` is the
     smallest node id reachable from it. Deterministic. Driver-side control
     flow only (one tiny aggregate per round); all data stays distributed.
+    O(diameter) rounds — raises past ``max_iterations``; use
+    ``connected_components_star`` for unbounded-diameter graphs.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -50,39 +85,132 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    labels = labels.localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    try:
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
-        labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+        labels = _checkpointer(labels, reliable)
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()  # materializes AND cuts lineage each round
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:  # labels are monotone-decreasing integers
-            break
-        prev_sum = cur_sum
-    else:
-        raise ValueError(
-            f"connected_components did not converge in {max_iterations} rounds "
-            "(component diameter exceeds the bound — raise max_iterations or "
-            "switch to large-star/small-star)"
-        )
-    edges.unpersist()
+            labels = _checkpointer(
+                labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                ),
+                reliable,
+            )
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:  # labels are monotone-decreasing integers
+                break
+            prev_sum = cur_sum
+        else:
+            raise ValueError(
+                f"connected_components did not converge in {max_iterations} rounds "
+                "(component diameter exceeds the bound — raise max_iterations or "
+                "switch to connected_components_star)"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+    reliable: bool = False,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star — the
+    O(log n)-round variant for graphs whose diameter is unbounded (long
+    duplicate chains, adversarial inputs).
+
+    Per round over the canonical edge set E (u > v, deduped):
+      * large-star: symmetrize E; per node u, m = min(N(u) ∪ {u}); new
+        edges {(x, m) : x ∈ N(u), x > u}.
+      * small-star: orient big→small; per node u, m = min(N(u) ∪ {u})
+        (= min of the smaller neighbors); new edges
+        {(x, m) : x ∈ N(u) ∪ {u}, x ≠ m}.
+    Both are one groupBy-min + one equi-join on u — identical shuffle
+    building blocks to propagation, just O(log n) rounds. At the fixpoint
+    E is a union of stars (leaf → component-min), read off directly.
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # all nodes of the input graph (singleton-free: pairs always have 2 ends)
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .persist()
+    )
+    try:
+        e = _checkpointer(e, reliable)
+        digest = e.agg(
+            F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
+        ).first()
+        prev = (digest[0], digest[1])
+        for _ in range(max_iterations):
+            # ---- large-star ----
+            sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            m = F.least(F.col("u"), F.col("mn")).alias("m")
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), m.alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # ---- small-star (edges already big->small: u > v) ----
+            smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+            small = (
+                large.join(smins, "u")
+                .select(
+                    F.explode(F.array(F.col("v"), F.col("u"))).alias("x"),
+                    F.col("mn"),
+                )
+                .filter(F.col("x") != F.col("mn"))
+                .select(F.col("x").alias("u"), F.col("mn").alias("v"))
+                .distinct()
+            )
+            e = _checkpointer(small, reliable)
+            digest = e.agg(
+                F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
+            ).first()
+            cur = (digest[0], digest[1])
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise ValueError(
+                f"connected_components_star did not converge in {max_iterations} "
+                "rounds (O(log n) bound exceeded — pathological input?)"
+            )
+        # fixpoint E is a union of stars: each non-root points at its
+        # component min; roots (and isolated-within-graph nodes) map to self
+        comp = e.groupBy("u").agg(F.min("v").alias("component"))
+        out = nodes.join(comp, nodes.node == comp.u, "left").select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+        # materialize before releasing `nodes`
+        out = _checkpointer(out, reliable)
+    finally:
+        nodes.unpersist()
+    return out
 
 
 def canonical_documents(
@@ -90,6 +218,7 @@ def canonical_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 30,
+    reliable: bool = False,
 ) -> DataFrame:
     """Per-document dedup decision from a near-dup pair list:
     (doc_id, component, is_canonical, n_members). Documents that appear in
@@ -97,7 +226,9 @@ def canonical_documents(
     The keep-set = rows with ``is_canonical`` true — the end-to-end
     "dedup this corpus" operator built from pairs + components.
     """
-    comp = connected_components(pairs, max_iterations=max_iterations)
+    comp = connected_components(
+        pairs, max_iterations=max_iterations, reliable=reliable
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     labeled = (
         docs.select(F.col(id_col))

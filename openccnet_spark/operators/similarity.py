@@ -150,14 +150,19 @@ def lsh_ann_topk(
     c = tagged.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
     )
-    cand = (
+    # Score BEFORE distinct: a pair can surface from up to N_TABLES buckets,
+    # and deduping on (query_id, qv, neighbor_id, nv) would push two 64-float
+    # arrays (~1 KB/row, ~50x the ids) through the distinct's hash exchange.
+    # cosine is deterministic, so duplicate candidate rows produce identical
+    # cos_milli and collapse under a scalar-only distinct — the exchange
+    # carries 3 scalars at the cost of <= N_TABLES recomputes of a cheap
+    # JVM fold (the same shape dedup.lsh_candidate_pairs already uses).
+    scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .withColumn("cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long"))
+        .select("query_id", "neighbor_id", "cos_milli")
         .distinct()
-    )
-    scored = cand.withColumn(
-        "cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long")
     )
     return _topk(scored, k)
 
@@ -271,14 +276,14 @@ def ivf_topk(
             F.explode(probes).alias("cluster"),
         )
     )
-    cand = (
+    # score-then-distinct: dedupe multi-probe candidates on scalars only so
+    # the exchange never carries embedding vectors (see lsh_ann_topk)
+    scored = (
         queries.join(corpus, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .withColumn("cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long"))
+        .select("query_id", "neighbor_id", "cos_milli")
         .distinct()
-    )
-    scored = cand.withColumn(
-        "cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long")
     )
     return _topk(scored, k)
 
@@ -288,12 +293,24 @@ def embedding_near_duplicates(
     threshold_milli: int = 990,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    guard_max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup dedup).
 
     Brute force at test scale; the LSH bucket join above is the 100 TB path
-    (same verify step, candidate generation swapped).
+    (same verify step, candidate generation swapped). Like
+    ``dedup.ngram_jaccard_pairs_bruteforce`` this is VERIFICATION-ONLY:
+    ``guard_max_rows`` raises before the O(n^2) cross join is built if the
+    input is production-sized. Pass ``None`` only for bounded per-bucket use.
     """
+    if guard_max_rows is not None:
+        n = df.count()
+        if n > guard_max_rows:
+            raise ValueError(
+                f"embedding_near_duplicates is O(n^2): {n} rows > "
+                f"guard_max_rows={guard_max_rows}. Use lsh_near_duplicates "
+                "at scale, or pass guard_max_rows=None for per-bucket use."
+            )
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
@@ -341,16 +358,18 @@ def lsh_near_duplicates(
     sized = oversized_bucket_filter(tagged, "bucket")
     a = sized.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = sized.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
-    cand = (
+    # score, THEN threshold-filter, THEN distinct: cosine is deterministic,
+    # so the <= N_TABLES duplicate candidate rows of a pair collapse under a
+    # scalar-only distinct — the hash exchange carries (a, b, cos_milli),
+    # never the two ~1 KB embedding arrays, and the filter has already
+    # discarded the non-duplicate bulk before anything shuffles.
+    return (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "va", "b", "vb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("cos_milli", F.floor(cosine_col("va", "vb") * 1000).cast("long"))
+        .withColumn("cos_milli", F.floor(cosine_col("va", "vb") * 1000).cast("long"))
         .filter(F.col("cos_milli") >= threshold_milli)
         .select("a", "b", "cos_milli")
+        .distinct()
     )
 
 

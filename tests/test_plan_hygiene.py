@@ -91,6 +91,38 @@ def test_exact_dedup_prehash_partial_aggregates(spark):
     assert "xxhash64" in plan
 
 
+def test_quality_quantiles_has_no_window(spark):
+    """Per-language percentiles must come from the bounded-domain histogram
+    (groupBy(lang, q) + linear fold over <= 1001 rows/lang), never a
+    row_number sort window — the window funnels each language's ENTIRE
+    corpus into one reducer task at 100 TB."""
+    plan = _plan(entry_mod.queries()["quality_quantiles"](spark, SF_DIR))
+    assert "Window" not in plan
+    # the histogram must be a real two-phase aggregate (map-side combined)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_candidate_distinct_carries_no_vectors(spark):
+    """The candidate-dedup distinct in the ANN/LSH family must key on
+    scalars only (ids + cos_milli): a distinct keyed on the embedding
+    arrays pushes ~1 KB of vector per candidate row through its hash
+    exchange — ~50x the bytes of the ids (the r03 bench regression).
+    A distinct is a HashAggregate with functions=[]; its exchange output
+    equals its keys, so scalar keys <=> scalar exchange."""
+    import re
+
+    for name in ("similarity_ann", "similarity_ivf", "dedup_embedding_lsh"):
+        plan = _plan(entry_mod.queries()[name](spark, SF_DIR), "simple")
+        distincts = re.findall(
+            r"HashAggregate\(keys=\[([^\]]*)\], functions=\[\]", plan
+        )
+        assert distincts, f"{name}: expected a candidate-dedup distinct"
+        for keys in distincts:
+            assert not re.search(r"\b(qv|nv|va|vb|embedding)#", keys), (
+                f"{name}: distinct keyed on a vector column: [{keys}]"
+            )
+
+
 def test_salted_join_carries_salt_in_join_keys(spark):
     """The salted join must actually join on (key, salt) — otherwise the
     hot key still lands on one reducer."""

@@ -227,3 +227,80 @@ def test_canonical_documents_singletons_and_clusters(spark):
     assert rows[5].component == 5 and rows[6].component == 5
     assert [rows[i].is_canonical for i in (1, 2, 3, 5, 6)] == [True, False, False, True, False]
     assert rows[1].n_members == 3 and rows[5].n_members == 2
+
+
+def test_embedding_near_duplicates_bruteforce_guard(spark, embs):
+    """The brute-force near-dup is O(n^2) verification-only: it must raise
+    before building the cross join on production-sized input, and pass
+    through untouched below the guard (same contract as
+    ngram_jaccard_pairs_bruteforce)."""
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        similarity.embedding_near_duplicates(embs, guard_max_rows=10)
+    # below the guard: normal operation
+    out = similarity.embedding_near_duplicates(
+        embs.limit(5), threshold_milli=-10_000, guard_max_rows=10
+    )
+    assert out.count() == 10  # all C(5,2) pairs at an always-true threshold
+
+
+def test_star_components_match_propagation(spark):
+    """large-star/small-star must produce the identical (node, component)
+    map as min-label propagation on a mixed graph."""
+    from openccnet_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "a long, b long",
+    )
+    prop = {r.node: r.component for r in connected_components(pairs).collect()}
+    star = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert star == prop
+
+
+def test_star_converges_on_1000_node_path_graph(spark):
+    """A 1,000-node path graph (diameter 999 >> propagation's 30-round
+    bound) must converge in O(log n) large-star/small-star rounds, through
+    the RELIABLE checkpoint path, and match the DuckDB recursive-CTE
+    transitive-closure oracle."""
+    from openccnet_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    import duckdb
+
+    duck = duckdb.connect()
+    edges = [(i, i + 1) for i in range(1000 - 1)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    # propagation provably cannot do this within its round bound
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(pairs, max_iterations=30)
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs, reliable=True).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE p AS SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") t(a, b)"
+    )
+    oracle = dict(
+        duck.execute(
+            """
+WITH RECURSIVE
+edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+)
+SELECT node, min(label) FROM walk GROUP BY node
+"""
+        ).fetchall()
+    )
+    assert got == oracle and len(got) == 1000
