@@ -1,0 +1,273 @@
+"""Writers for the reference's serialized dictionary-bundle formats.
+
+The reference's ``dictgen`` CLI emits three formats
+(``OpenccNet/DictgenCommand.cs:13-27,101-189``; save paths
+``OpenccNetLib/DictionaryLib.cs:662-679,746-769,1744-1755,1776-1791``):
+
+* ``json`` — ``System.Text.Json`` indented serialization of
+  ``DictionaryMaxlength`` (PascalCase fields, non-ASCII as ``\\uXXXX``);
+  with ``--unescape``, readable Unicode instead of escapes
+  (``DictgenCommand.cs:44``, ``SerializeToJsonUnescaped``);
+* ``cbor`` — ``CBORObject.FromObject`` (RFC 8949; camelCase fields,
+  canonical length-first map-key ordering);
+* ``zstd`` — compact (non-indented) JSON compressed as a Zstandard frame.
+
+This module produces all three from a ``{slot: {key: value}}`` map so a
+bundle regenerated here round-trips through both our own
+``bundle_interop.load_reference_bundle`` and the reference's
+``FromJson``/``FromCbor``/``LoadJsonCompressed`` loaders. Semantic
+fidelity notes:
+
+* Per-slot derived metadata (``MaxLength``/``MinLength``/``LengthMask``/
+  ``LongLengths``/``StarterLenMask``) is computed exactly as the
+  reference does (``DictionaryLib.cs:1282-1325,1542-1571``): lengths in
+  **UTF-16 code units** (the C# ``string.Length``), mask bit ``len-1``
+  for lengths 1..64, lengths > 64 spilled to ``LongLengths``, starters
+  keyed by first code point (surrogate pair kept whole). The reference's
+  loaders would regenerate any missing metadata via
+  ``EnsureDerivedMetadata``, but emitting it keeps the artifact complete
+  and byte-comparable field-for-field.
+* Byte-identity with a C#-written artifact is NOT guaranteed (encoder
+  whitespace/escape minutiae, CBOR definite- vs indefinite-length
+  choices); structural + value identity is, which is what both loaders
+  consume.
+* The zstd frame uses RFC 8878 **raw blocks** (stored, not
+  entropy-coded): a fully standard frame any zstd decoder reads — the
+  format permits uncompressed blocks, so no encoder-side FSE/Huffman is
+  needed. Larger than level-19 output, but this is a build artifact, not
+  a wire format.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+#: DictionaryMaxlength property declaration order (DictionaryLib.cs:159-265)
+#: — the field order System.Text.Json serializes, and the slot order in the
+#: reference's published json/zstd packs.
+REFERENCE_SLOT_ORDER = (
+    "st_characters", "st_phrases", "ts_characters", "ts_phrases",
+    "tw_phrases", "tw_phrases_rev", "tw_variants", "tw_variants_phrases",
+    "tw_variants_rev", "tw_variants_rev_phrases",
+    "hk_phrases", "hk_phrases_rev", "hk_variants", "hk_variants_phrases",
+    "hk_variants_rev", "hk_variants_rev_phrases",
+    "jps_characters", "jps_characters_rev", "jps_phrases",
+    "st_punctuations", "ts_punctuations",
+)
+
+
+def utf16_len(s: str) -> int:
+    """C# ``string.Length``: UTF-16 code units (astral chars count 2)."""
+    return len(s) + sum(1 for c in s if ord(c) > 0xFFFF)
+
+
+def slot_metadata(table: dict[str, str]) -> dict:
+    """Derived metadata for one slot, per DictionaryLib.cs:1282-1325
+    (lengths) and BuildStarterLenMask (DictionaryLib.cs:1542-1571)."""
+    max_len = 0
+    min_len = None
+    mask = 0
+    long_lengths: set[int] | None = None
+    starter: dict[str, int] = {}
+    for key in table:
+        if not key:
+            continue
+        n = utf16_len(key)
+        max_len = max(max_len, n)
+        min_len = n if min_len is None else min(min_len, n)
+        if n <= 64:
+            mask |= 1 << (n - 1)
+        else:
+            long_lengths = long_lengths or set()
+            long_lengths.add(n)
+        s = key[0]  # a Python str index is one code point == C#'s
+        # "surrogate pair kept whole" rule for astral starters; the
+        # starter mask records only lengths 1..64 (longer keys still
+        # register the starter with no bit, matching BuildStarterLenMask)
+        bit = (1 << (n - 1)) if n <= 64 else 0
+        starter[s] = starter.get(s, 0) | bit
+    if not table:
+        max_len, min_len, mask, long_lengths, starter = 0, 0, 0, None, None
+    return {
+        "MaxLength": max_len,
+        "MinLength": min_len or 0,
+        "LengthMask": mask,
+        "LongLengths": sorted(long_lengths) if long_lengths else None,
+        "StarterLenMask": starter,
+    }
+
+
+def _doc(slots: dict[str, dict[str, str]], style: str) -> dict:
+    """Serializable document: ``style`` = 'json' (PascalCase + Count, the
+    System.Text.Json shape) or 'cbor' (camelCase, no Count — the
+    CBORObject.FromObject shape, cf. the reference .cbor fixture)."""
+    missing = [s for s in REFERENCE_SLOT_ORDER if s not in slots]
+    if missing:
+        raise ValueError(f"bundle missing reference slots: {missing}")
+    out = {}
+    for name in REFERENCE_SLOT_ORDER:
+        table = slots[name]
+        md = slot_metadata(table)
+        if style == "json":
+            out[name] = {
+                "Dict": table,
+                "MaxLength": md["MaxLength"],
+                "MinLength": md["MinLength"],
+                "LengthMask": md["LengthMask"],
+                "LongLengths": md["LongLengths"],
+                "StarterLenMask": md["StarterLenMask"],
+                "Count": len(table),
+            }
+        else:
+            out[name] = {
+                "dict": table,
+                "maxLength": md["MaxLength"],
+                "minLength": md["MinLength"],
+                "lengthMask": md["LengthMask"],
+                "longLengths": md["LongLengths"],
+                "starterLenMask": md["StarterLenMask"],
+            }
+    return out
+
+
+_LOWER_U = re.compile(r"\\u([0-9a-f]{4})")
+
+
+def _json_bytes(doc: dict, indent: bool, escape: bool) -> bytes:
+    if escape:
+        text = json.dumps(doc, ensure_ascii=True, indent=2 if indent else None,
+                          separators=None if indent else (",", ":"))
+        # System.Text.Json emits uppercase hex in \uXXXX escapes
+        text = _LOWER_U.sub(lambda m: "\\u" + m.group(1).upper(), text)
+    else:
+        text = json.dumps(doc, ensure_ascii=False, indent=2 if indent else None,
+                          separators=None if indent else (",", ":"))
+    return text.encode("utf-8")
+
+
+# --------------------------------------------------------------------------
+# RFC 8949 CBOR encoder (definite lengths, canonical map-key order)
+# --------------------------------------------------------------------------
+
+
+def _cbor_head(major: int, n: int) -> bytes:
+    if n < 24:
+        return bytes([(major << 5) | n])
+    for info, size in ((24, 1), (25, 2), (26, 4), (27, 8)):
+        if n < (1 << (8 * size)):
+            return bytes([(major << 5) | info]) + n.to_bytes(size, "big")
+    raise ValueError(f"CBOR integer too large: {n}")
+
+
+def encode_cbor(value) -> bytes:
+    """Encode one item (RFC 8949): ints, str, bytes, bool, None, list,
+    dict (str keys, canonical length-first/bytewise ordering — the
+    deterministic ordering CBORObject also produces)."""
+    if value is None:
+        return b"\xf6"
+    if value is True:
+        return b"\xf5"
+    if value is False:
+        return b"\xf4"
+    if isinstance(value, int):
+        if value >= 0:
+            return _cbor_head(0, value)
+        return _cbor_head(1, -1 - value)
+    if isinstance(value, bytes):
+        return _cbor_head(2, len(value)) + value
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        return _cbor_head(3, len(raw)) + raw
+    if isinstance(value, (list, tuple)):
+        return _cbor_head(4, len(value)) + b"".join(encode_cbor(v) for v in value)
+    if isinstance(value, dict):
+        items = []
+        for k, v in value.items():
+            if not isinstance(k, str):
+                raise TypeError(f"CBOR map keys must be str, got {type(k)}")
+            items.append((encode_cbor(k), encode_cbor(v)))
+        items.sort(key=lambda kv: (len(kv[0]), kv[0]))  # canonical order
+        return _cbor_head(5, len(items)) + b"".join(k + v for k, v in items)
+    raise TypeError(f"cannot CBOR-encode {type(value)}")
+
+
+# --------------------------------------------------------------------------
+# RFC 8878 zstd frame writer (raw/stored blocks)
+# --------------------------------------------------------------------------
+
+_ZSTD_MAGIC = 0xFD2FB528
+_MAX_RAW_BLOCK = (1 << 17)  # 128 KiB per stored block (limit is 2^21-1)
+
+
+def zstd_raw_frame(payload: bytes) -> bytes:
+    """A standard single-frame zstd stream holding ``payload`` in raw
+    (uncompressed) blocks. Single-segment frame header with the exact
+    Frame_Content_Size; no checksum; readable by any conforming decoder
+    (including our ``zstd_decode.decompress`` and the reference's
+    ZstdSharp ``Decompressor.Unwrap``)."""
+    n = len(payload)
+    # frame header descriptor: Single_Segment_Flag (bit 5) + FCS size flag
+    if n <= 0xFF:
+        fcs_flag, fcs = 0, n.to_bytes(1, "little")
+    elif n - 256 <= 0xFFFF:
+        fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n <= 0xFFFFFFFF:
+        fcs_flag, fcs = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs = 3, n.to_bytes(8, "little")
+    header = bytes([(fcs_flag << 6) | 0x20]) + fcs
+    blocks = []
+    pos = 0
+    while True:
+        chunk = payload[pos : pos + _MAX_RAW_BLOCK]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        bh = last | (0 << 1) | (len(chunk) << 3)  # type 0 = Raw_Block
+        blocks.append(bh.to_bytes(3, "little") + chunk)
+        if last:
+            break
+    return _ZSTD_MAGIC.to_bytes(4, "little") + header + b"".join(blocks)
+
+
+# --------------------------------------------------------------------------
+# top-level writers
+# --------------------------------------------------------------------------
+
+
+def write_reference_bundle(
+    slots: dict[str, dict[str, str]],
+    path: str | Path,
+    fmt: str,
+    unescape: bool = False,
+) -> Path:
+    """Write ``slots`` as a reference-format bundle file.
+
+    ``fmt``: ``json`` | ``cbor`` | ``zstd`` (``DictgenCommand.cs`` flag
+    values). ``unescape`` is json-only, like the reference's ``-u``.
+    """
+    fmt = fmt.lower()
+    if unescape and fmt != "json":
+        raise ValueError("--unescape can only be used with --format json")
+    p = Path(path)
+    if fmt == "json":
+        p.write_bytes(_json_bytes(_doc(slots, "json"), indent=True, escape=not unescape))
+    elif fmt == "cbor":
+        p.write_bytes(encode_cbor(_doc(slots, "cbor")))
+    elif fmt == "zstd":
+        payload = _json_bytes(_doc(slots, "json"), indent=False, escape=True)
+        p.write_bytes(zstd_raw_frame(payload))
+    else:
+        raise ValueError(f"unsupported bundle format: {fmt!r} (zstd|cbor|json)")
+    return p
+
+
+__all__ = [
+    "REFERENCE_SLOT_ORDER",
+    "encode_cbor",
+    "slot_metadata",
+    "utf16_len",
+    "write_reference_bundle",
+    "zstd_raw_frame",
+]

@@ -137,3 +137,82 @@ def test_zstd_bundle_matches_json_fixture_and_converts(json_bundle):
     cc = Converter(zb)
     for config, punct, inp, expected in GOLDENS:
         assert cc.convert(inp, config, punct) == expected, (config, inp)
+
+
+# --- reference-format WRITERS (round 4) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def compiled_slots():
+    return {s: dict(load_bundle().slots[s]) for s in SLOTS}
+
+
+def test_written_metadata_matches_reference_fixture(compiled_slots):
+    """Our writers must compute the UTF-16-unit derived metadata
+    (MaxLength/MinLength/LengthMask/LongLengths/StarterLenMask/Count)
+    exactly as the reference serializers did for its committed fixture."""
+    import json as _json
+
+    from openccnet_spark.reference_bundle import _doc
+
+    ref = _json.loads((_FIXTURES / "dictionary_maxlength.json").read_text())
+    mine = _doc(compiled_slots, "json")
+    for slot in SLOTS:
+        for field in ("Dict", "MaxLength", "MinLength", "LengthMask", "Count"):
+            assert mine[slot][field] == ref[slot][field], (slot, field)
+        assert (mine[slot]["LongLengths"] or None) == (ref[slot]["LongLengths"] or None), slot
+        assert mine[slot]["StarterLenMask"] == ref[slot]["StarterLenMask"], slot
+
+
+@pytest.mark.parametrize("fmt,unescape", [
+    ("zstd", False), ("cbor", False), ("json", False), ("json", True),
+])
+def test_written_bundle_roundtrips_and_converts(tmp_path, compiled_slots, fmt, unescape):
+    """DictgenCommand parity: every written format must load back through
+    load_reference_bundle and convert the golden set identically."""
+    from openccnet_spark.reference_bundle import write_reference_bundle
+
+    path = tmp_path / f"b{'_u' if unescape else ''}.{fmt}"
+    write_reference_bundle(compiled_slots, path, fmt, unescape=unescape)
+    cc = Converter(load_reference_bundle(path))
+    for config, punct, inp, expected in GOLDENS:
+        assert cc.convert(inp, config, punct) == expected, (config, inp)
+
+
+def test_written_zstd_is_a_standard_frame(tmp_path, compiled_slots):
+    """The raw-block zstd frame must decode via the independent RFC 8878
+    decoder to the same compact-JSON payload (multi-block: the bundle is
+    ~2.7 MB >> the 128 KiB block size)."""
+    import json as _json
+
+    from openccnet_spark.reference_bundle import write_reference_bundle
+    from openccnet_spark.zstd_decode import decompress
+
+    path = tmp_path / "b.zstd"
+    write_reference_bundle(compiled_slots, path, "zstd")
+    doc = _json.loads(decompress(path.read_bytes()))
+    assert set(doc) == set(SLOTS)
+    assert doc["st_characters"]["Dict"] == compiled_slots["st_characters"]
+
+
+def test_cbor_encoder_roundtrips_through_own_reader():
+    from openccnet_spark.reference_bundle import encode_cbor
+
+    for v in (0, 23, 24, 255, 2**32, 2**64 - 1, -1, -100, "IETF", "你好𠀀",
+              b"\x01\x02", [1, [2, "三"], None], {"a": 1, "bb": None, "中": True},
+              True, False, None):
+        assert decode_cbor(encode_cbor(v)) == v, v
+
+
+def test_unescape_writes_readable_unicode(tmp_path, compiled_slots):
+    from openccnet_spark.reference_bundle import write_reference_bundle
+
+    esc = (tmp_path / "esc.json")
+    une = (tmp_path / "une.json")
+    write_reference_bundle(compiled_slots, esc, "json")
+    write_reference_bundle(compiled_slots, une, "json", unescape=True)
+    esc_text, une_text = esc.read_text(), une.read_text()
+    assert "\\uD8" not in une_text.upper() and "㐷" in une_text
+    assert "㐷" not in esc_text and "\\u3437" in esc_text.replace("\\u3437".lower(), "\\u3437")
+    with pytest.raises(ValueError, match="unescape"):
+        write_reference_bundle(compiled_slots, tmp_path / "x.cbor", "cbor", unescape=True)

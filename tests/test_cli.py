@@ -104,3 +104,18 @@ def test_convert_stream_mode():
 def test_convert_stream_rejects_files(tmp_path):
     with pytest.raises(SystemExit):
         main(["convert", "-c", "s2t", "--stream", "-i", str(tmp_path / "x.txt")])
+
+
+def test_dictgen_reference_format_passthrough(tmp_path):
+    """`openccnet dictgen -f cbor -o ...` (leading option, reference
+    DictgenCommand flags) must flow through the passthrough shim and
+    produce a loadable reference-format bundle."""
+    from openccnet_spark.bundle_interop import load_reference_bundle
+    from openccnet_spark.dictionary import SLOTS, load_bundle
+
+    out = tmp_path / "dictionary_maxlength.cbor"
+    assert main(["dictgen", "-f", "cbor", "--out", str(out)]) == 0
+    b = load_reference_bundle(out)
+    compiled = load_bundle()
+    for s in SLOTS:
+        assert b.slots[s] == compiled.slots[s], s

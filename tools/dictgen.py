@@ -144,7 +144,21 @@ def main() -> int:
     ap.add_argument("--src", default="/root/reference/OpenccNetLib/dicts")
     ap.add_argument(
         "--out",
-        default=str(Path(__file__).resolve().parent.parent / "openccnet_spark" / "data" / "dictionary_bundle.json.gz"),
+        default=None,
+        help="output file (default: the committed json.gz artifact for "
+        "-f bundle, dictionary_maxlength.<ext> for reference formats)",
+    )
+    ap.add_argument(
+        "-f", "--format", default="bundle",
+        choices=("bundle", "zstd", "cbor", "json"),
+        help="bundle = this engine's own json.gz artifact (default); "
+        "zstd|cbor|json = the reference's serialized formats "
+        "(DictgenCommand.cs -f flag values)",
+    )
+    ap.add_argument(
+        "-u", "--unescape", action="store_true",
+        help="json format only: write readable Unicode instead of \\uXXXX "
+        "escapes (reference DictgenCommand --unescape)",
     )
     ap.add_argument(
         "-D", "--custom", action="append", default=[],
@@ -152,6 +166,8 @@ def main() -> int:
         "reference DictgenCommand -D flag)",
     )
     args = ap.parse_args()
+    if args.unescape and args.format != "json":
+        ap.error("--unescape can only be used with --format json")
 
     bundle = build_bundle(Path(args.src))
     if args.custom:
@@ -170,7 +186,22 @@ def main() -> int:
                 bundle["slots"][slot].update(table)  # late-comer wins
         bundle["meta"]["custom_specs"] = list(args.custom)
         bundle["meta"]["slot_sizes"] = {s: len(t) for s, t in bundle["slots"].items()}
-    out = Path(args.out)
+    if args.format != "bundle":
+        # reference-format writers (zstd default in the reference CLI;
+        # our default stays the engine's own artifact)
+        import sys as _sys
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from openccnet_spark.reference_bundle import write_reference_bundle
+
+        out = Path(args.out or f"dictionary_maxlength.{args.format}")
+        write_reference_bundle(bundle["slots"], out, args.format, unescape=args.unescape)
+        print(f"wrote {out} ({out.stat().st_size} bytes, reference {args.format} format)")
+        return 0
+    out = Path(
+        args.out
+        or Path(__file__).resolve().parent.parent / "openccnet_spark" / "data" / "dictionary_bundle.json.gz"
+    )
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = json.dumps(bundle, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
     with open(out, "wb") as raw:
