@@ -175,6 +175,7 @@ def _cmd_pdf(args: argparse.Namespace) -> int:
         reflow=args.reflow,
         compact=args.compact,
         converter=cc,
+        password=args.password or "",
     )
     output = args.output or str(Path(args.input).with_suffix(".txt"))
     Path(output).write_text(text, encoding="utf-8")
@@ -232,6 +233,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--reflow", "-r", action="store_true", help="reflow CJK paragraphs")
     d.add_argument("--compact", "-C", action="store_true", help="compact reflow")
     d.add_argument("--extract", "-e", action="store_true", help="extract only, no conversion")
+    d.add_argument("--password", "-P", default="",
+                   help="password for encrypted PDFs (user or owner; "
+                        "extension beyond the reference CLI — PdfPig takes "
+                        "it via its API)")
     d.add_argument("--norm-compat", "-n", action="store_true",
                    help="accepted for reference-CLI parity; extraction "
                         "always compat-normalizes (idempotent)")

@@ -19,16 +19,18 @@ text corpus:
 * per-font ``/ToUnicode`` CMaps (bfchar + bfrange, 1- and 2-byte codes) for
   CJK (Identity-H etc.); fonts without a CMap decode as Latin-1.
 
-* encrypted files with an EMPTY user password (the common
-  permissions-only encryption) decrypt transparently: standard security
-  handler RC4 (V1/V2/V4 /V2), AES-128 (V4 /AESV2) and AES-256 (V5
-  revisions 5/6 incl. the Algorithm 2.B iterated hash) —
-  ``pdf_crypt.py`` + the pure-Python FIPS-197 AES in ``pdf_aes.py``;
+* encrypted files decrypt transparently with an EMPTY user password (the
+  common permissions-only encryption) or a SUPPLIED user/owner password
+  (Algorithms 2, 7 and 2.A): standard security handler RC4 (V1/V2/V4
+  /V2), AES-128 (V4 /AESV2) and AES-256 (V5 revisions 5/6 incl. the
+  Algorithm 2.B iterated hash) — ``pdf_crypt.py`` + the pure-Python
+  FIPS-197 AES in ``pdf_aes.py``;
 * all four auxiliary stream filters beyond Flate: ASCIIHexDecode,
   ASCII85Decode, RunLengthDecode, LZWDecode (9-12 bit, EarlyChange).
 
-Honest limits (documented, not hidden): real-password PDFs extract as
-empty (``encryption_unsupported`` is set), no per-glyph positioning
+Honest limits (documented, not hidden): a wrong/unknown password
+extracts as empty (``encryption_unsupported`` is set), no per-glyph
+positioning
 reconstruction, JBIG2/DCT/image filters skipped (image data carries no
 extractable text). Unsupported content degrades to skipped streams,
 never to exceptions.
@@ -323,6 +325,9 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            # mask to the live bits: without this the accumulator grows as
+            # an unbounded int and bit ops over a long stream go O(n^2)
+            acc &= (1 << nbits) - 1
             if code == 256:  # clear table
                 table = [bytes([i]) for i in range(256)] + [b"", b""]
                 width = 9
@@ -351,12 +356,16 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 class PdfDocument:
     """Parsed object table + page tree of one PDF byte blob."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes | str = b""):
         self.data = data
+        self._password = (
+            password.encode("utf-8") if isinstance(password, str) else bytes(password)
+        )
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}  # raw (still encoded) stream data
         self.gens: dict[int, int] = {}  # object generations (per-object keys)
         self.trailers: list[dict] = []  # trailer / xref-stream dicts
+        self._free: set[int] = set()  # freed in a newer section: tombstoned
         self._plain_objects: set[int] = set()  # never-encrypted objects
         self._file_key: bytes | None = None
         self._cipher = "rc4"  # rc4 | aes_v4 (AES-128) | aes_v5 (AES-256)
@@ -380,6 +389,7 @@ class PdfDocument:
                 self.streams.clear()
                 self.gens.clear()
                 self.trailers.clear()
+                self._free.clear()
                 self._plain_objects.clear()
                 self._file_key = None
                 self._cipher = "rc4"
@@ -422,12 +432,24 @@ class PdfDocument:
         p = int(self.resolve(enc.get("P", -1)))
         em = self.resolve(enc.get("EncryptMetadata", True))
         if v == 5:  # AES-256 (revision 5/6)
-            from .pdf_crypt import authenticate_user_password_v5
+            from .pdf_crypt import (
+                authenticate_owner_password_v5,
+                authenticate_user_password_v5,
+                truncate_utf8_password,
+            )
 
             ue = bytes(self.resolve(enc.get("UE")) or b"")
-            key = authenticate_user_password_v5(b"", u, ue, int(r))
+            oe = bytes(self.resolve(enc.get("OE")) or b"")
+            pw = truncate_utf8_password(self._password)
+            # supplied password as user, then as owner (Algorithm 2.A both
+            # paths), then the common empty-user-password case
+            key = authenticate_user_password_v5(pw, u, ue, int(r))
+            if key is None and pw:
+                key = authenticate_owner_password_v5(pw, o, oe, u, int(r))
+            if key is None and pw:
+                key = authenticate_user_password_v5(b"", u, ue, int(r))
             if key is None:
-                self.encryption_unsupported = True  # real password
+                self.encryption_unsupported = True  # wrong/unknown password
                 return
             self._file_key = key
             self._cipher = "aes_v5"
@@ -437,6 +459,11 @@ class PdfDocument:
             # crypt filters: RC4 (/V2) and AES-128 (/AESV2) are in scope
             cf = self.resolve(enc.get("CF")) or {}
             stmf = str(self.resolve(enc.get("StmF", Name("Identity"))))
+            if stmf == "Identity":
+                # streams deliberately unencrypted (a legal configuration:
+                # only strings/embedded files carry ciphertext) — text
+                # extraction reads streams, so proceed with no stream key
+                return
             c = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
             cfm = str(self.resolve(c.get("CFM", ""))) if isinstance(c, dict) else ""
             if cfm not in ("V2", "AESV2"):
@@ -448,11 +475,18 @@ class PdfDocument:
         length = int(self.resolve(enc.get("Length", 40)) or 40) // 8
         if v == 1:
             length = 5
-        key = authenticate_user_password(
-            b"", o, u, p, id0 or b"", int(r), length, bool(em)
-        )
+        # supplied password as user (Algorithm 2), then as owner
+        # (Algorithm 7), then the common empty-user-password case
+        from .pdf_crypt import authenticate_owner_password
+
+        args = (o, u, p, id0 or b"", int(r), length, bool(em))
+        key = authenticate_user_password(self._password, *args)
+        if key is None and self._password:
+            key = authenticate_owner_password(self._password, *args)
+        if key is None and self._password:
+            key = authenticate_user_password(b"", *args)
         if key is None:
-            # a real (non-empty) user password: honestly unreadable
+            # wrong (or unknown) password: honestly unreadable
             self.encryption_unsupported = True
             return
         self._file_key = key
@@ -534,7 +568,7 @@ class PdfDocument:
         if not m:
             return
         num = int(m.group(1))
-        if num in self.objects:
+        if num in self.objects or num in self._free:
             return
         lex = _Lexer(self.data, m.end())
         try:
@@ -595,8 +629,14 @@ class PdfDocument:
                 em = ent_re.match(d, pos)
                 if not em:
                     return False
-                if em.group(3) == b"n" and start_num + i != 0:
+                onum = start_num + i
+                if em.group(3) == b"n" and onum != 0:
                     offsets.append(int(em.group(1)))
+                elif em.group(3) == b"f" and onum != 0 and onum not in self.objects:
+                    # freed here and not defined by any NEWER section:
+                    # tombstone so an older /Prev definition cannot
+                    # resurrect deleted content (sections walk newest-first)
+                    self._free.add(onum)
                 pos = em.end()
                 # entries are fixed 20 bytes; tolerate 19-byte writers
                 while pos < len(d) and d[pos] in b"\r\n ":
@@ -610,14 +650,15 @@ class PdfDocument:
         self.trailers.append(trailer)
         for off in offsets:
             self._parse_object_at(off, pending)
-        prev = trailer.get("Prev")
-        if isinstance(prev, int):
-            self._load_xref_section(prev, pending, seen, depth + 1)
-        # hybrid-reference files: the classic table is authoritative for
-        # old readers, /XRefStm points at the stream with the newer entries
+        # hybrid-reference files: /XRefStm points at the stream holding the
+        # NEWER entries and takes precedence over /Prev (PDF 1.7 §7.5.8.4),
+        # so with first-loaded-wins it must register first
         xrefstm = trailer.get("XRefStm")
         if isinstance(xrefstm, int):
             self._load_xref_section(xrefstm, pending, seen, depth + 1)
+        prev = trailer.get("Prev")
+        if isinstance(prev, int):
+            self._load_xref_section(prev, pending, seen, depth + 1)
         return True
 
     def _load_xref_stream(self, offset: int, pending: list, seen: set, depth: int) -> bool:
@@ -674,6 +715,10 @@ class PdfDocument:
                 onum = start_num + k
                 if typ == 1 and onum != 0:
                     self._parse_object_at(f2, pending)
+                elif typ == 0 and onum != 0 and onum not in self.objects:
+                    # type-0 = free: tombstone against older sections
+                    # (same rule as classic-table 'f' entries)
+                    self._free.add(onum)
                 # typ == 2 (compressed): the object lives in ObjStm f2,
                 # which is itself a type-1 entry; _expand_object_streams
                 # unpacks it after loading
@@ -1034,12 +1079,16 @@ def _page_text(doc: PdfDocument, page: dict) -> str:
     return "\n".join(lines)
 
 
-def extract_pdf_text(data: bytes, add_page_header: bool = False) -> str:
+def extract_pdf_text(
+    data: bytes, add_page_header: bool = False, password: bytes | str = b""
+) -> str:
     """Whole-document text, page-concatenated like the reference
     (``PdfHelper.cs:140-170``): per page trim CR/LF/space, optional
     ``=== [Page i/n] ===`` header, blank-line separators, blank pages kept
-    as separators."""
-    doc = PdfDocument(data)
+    as separators. ``password`` opens password-protected files the way
+    PdfPig's open-with-password does for the reference; a wrong password
+    degrades to empty pages via ``encryption_unsupported``."""
+    doc = PdfDocument(data, password=password)
     pages = doc.pages()
     total = len(pages)
     if total == 0:
@@ -1066,6 +1115,7 @@ def pdf_to_text(
     reflow: bool = False,
     compact: bool = False,
     converter: Converter | None = None,
+    password: bytes | str = b"",
 ) -> str:
     """The reference's full pdf-command pipeline over one PDF byte blob
     (``PdfCommand.cs:211-247``): extract -> NormalizeCompat (always, like
@@ -1075,7 +1125,7 @@ def pdf_to_text(
     conversion; normalization is idempotent, so that second pass can never
     change anything and is not reproduced.)"""
     cc = converter or default_converter()
-    text = extract_pdf_text(data, add_page_header)
+    text = extract_pdf_text(data, add_page_header, password=password)
     text = cc.normalize_compat(text)
     if reflow:
         text = reflow_cjk_paragraphs(text, add_pdf_page_header=add_page_header, compact=compact)

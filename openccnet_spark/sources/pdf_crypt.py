@@ -119,6 +119,36 @@ def authenticate_user_password(
     return key if ok else None
 
 
+def authenticate_owner_password(
+    owner_pw: bytes,
+    o_entry: bytes,
+    u_entry: bytes,
+    p: int,
+    id0: bytes,
+    revision: int,
+    key_len: int,
+    encrypt_metadata: bool = True,
+) -> bytes | None:
+    """Algorithm 7: file key if ``owner_pw`` verifies. Decrypting /O with
+    the owner-derived RC4 key recovers the PADDED user password, which
+    then authenticates through the normal user path (re-padding a 32-byte
+    padded password is the identity, so it can be passed straight in)."""
+    key = hashlib.md5(_pad_password(owner_pw)).digest()
+    if revision >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    rc4_key = key[:key_len]
+    if revision == 2:
+        user_pad = rc4(rc4_key, bytes(o_entry)[:32])
+    else:
+        user_pad = bytes(o_entry)[:32]
+        for i in range(19, -1, -1):
+            user_pad = rc4(bytes(b ^ i for b in rc4_key), user_pad)
+    return authenticate_user_password(
+        user_pad, o_entry, u_entry, p, id0, revision, key_len, encrypt_metadata
+    )
+
+
 def object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     """Per-object key (PDF 1.7 Algorithm 1; AES appends the 'sAlT' bytes)."""
     h = hashlib.md5(
@@ -168,3 +198,28 @@ def authenticate_user_password_v5(
     intermediate = hash_2b(user_pw, ksalt, b"", revision)
     # AES-256-CBC, zero IV, NO padding (the payload is exactly 32 bytes)
     return cbc_decrypt(intermediate, b"\x00" * 16, bytes(ue_entry))[:32]
+
+
+def authenticate_owner_password_v5(
+    owner_pw: bytes, o_entry: bytes, oe_entry: bytes, u_entry: bytes, revision: int
+) -> bytes | None:
+    """PDF 2.0 Algorithm 2.A, owner-password path: the owner hash salts
+    come from /O and the full 48-byte /U participates as ``udata``."""
+    from .pdf_aes import cbc_decrypt
+
+    o, u = bytes(o_entry), bytes(u_entry)
+    if len(o) < 48 or len(u) < 48:
+        return None
+    vsalt, ksalt = o[32:40], o[40:48]
+    if hash_2b(owner_pw, vsalt, u[:48], revision) != o[:32]:
+        return None
+    intermediate = hash_2b(owner_pw, ksalt, u[:48], revision)
+    return cbc_decrypt(intermediate, b"\x00" * 16, bytes(oe_entry))[:32]
+
+
+def truncate_utf8_password(pw: bytes | str) -> bytes:
+    """PDF 2.0 (V5) passwords: UTF-8, truncated to 127 bytes (ISO 32000-2
+    §7.6.4.3.3; SASLprep normalization is not applied — callers pass
+    already-normalized text)."""
+    raw = pw.encode("utf-8") if isinstance(pw, str) else bytes(pw)
+    return raw[:127]

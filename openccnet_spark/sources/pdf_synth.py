@@ -204,6 +204,11 @@ def build_pdf_encrypted(
         u = hash_2b(user_pw, vsalt, b"", revision) + vsalt + ksalt
         intermediate = hash_2b(user_pw, ksalt, b"", revision)
         ue = cbc_encrypt(intermediate, b"\x00" * 16, key)
+        # real owner entries (Algorithm 9): owner hashes salt with the
+        # full 48-byte /U as udata, /OE wraps the same file key
+        ovsalt, oksalt = b"OVSALT01", b"OKSALT01"
+        o = hash_2b(owner_pw, ovsalt, u, revision) + ovsalt + oksalt
+        oe = cbc_encrypt(hash_2b(owner_pw, oksalt, u, revision), b"\x00" * 16, key)
         enc_dict = (
             b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d"
             b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
@@ -211,8 +216,8 @@ def build_pdf_encrypted(
             b" /O <%s> /OE <%s> /U <%s> /UE <%s> /Perms <%s> >>"
             % (
                 p,
-                (b"\x11" * 48).hex().encode(),  # owner path unused by the reader
-                (b"\x22" * 32).hex().encode(),
+                o.hex().encode(),
+                oe.hex().encode(),
                 u.hex().encode(),
                 ue.hex().encode(),
                 (b"\x33" * 16).hex().encode(),

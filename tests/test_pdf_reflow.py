@@ -187,8 +187,9 @@ def test_encrypted_pdf_decrypts_transparently(method):
 
 @_pytest.mark.parametrize("method", ["rc4", "aesv2", "aesv3"])
 def test_real_password_pdf_degrades_honestly(method):
-    """A non-empty user password is out of scope: the document must mark
-    itself unsupported and extract as empty — never garbage."""
+    """A password-protected file opened WITHOUT its password must mark
+    itself unsupported and extract as empty — never garbage. (Supplying
+    the password opens it: see the tests below.)"""
     from openccnet_spark.sources.pdf import PdfDocument
     from openccnet_spark.sources.pdf_synth import build_pdf_encrypted
 
@@ -422,3 +423,157 @@ def test_pdf_build_extract_roundtrip(pages):
         for lines in pages
     )
     assert out == expected
+
+
+@_pytest.mark.parametrize("method", ["rc4", "aesv2", "aesv3"])
+def test_password_protected_pdf_opens_with_user_password(method):
+    """A REAL user password (Algorithm 2 for V<=4, Algorithm 2.A for V5)
+    must open the file when supplied; a wrong password must degrade via
+    the existing encryption_unsupported surface."""
+    from openccnet_spark.sources.pdf import PdfDocument, extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import build_pdf, build_pdf_encrypted
+
+    pages = [["他走在路上，忽然看见", "一个熟悉的身影。"], ["第二页内容。"]]
+    plain = extract_pdf_text(build_pdf(pages))
+    locked = build_pdf_encrypted(pages, user_pw=b"s3cret", method=method)
+
+    doc = PdfDocument(locked, password=b"s3cret")
+    assert doc._file_key is not None and not doc.encryption_unsupported
+    assert extract_pdf_text(locked, password=b"s3cret") == plain
+    assert extract_pdf_text(locked, password="s3cret") == plain  # str ok
+
+    wrong = PdfDocument(locked, password=b"nope")
+    assert wrong.encryption_unsupported is True
+    # pages degrade to empty (only blank-page separators remain)
+    assert extract_pdf_text(locked, password=b"nope").strip() == ""
+
+
+@_pytest.mark.parametrize("method", ["rc4", "aesv2", "aesv3"])
+def test_password_protected_pdf_opens_with_owner_password(method):
+    """The owner password must also open the file (Algorithm 7 for V<=4,
+    Algorithm 2.A owner path for V5)."""
+    from openccnet_spark.sources.pdf import extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import build_pdf, build_pdf_encrypted
+
+    pages = [["秘密内容第一行。"]]
+    plain = extract_pdf_text(build_pdf(pages))
+    locked = build_pdf_encrypted(
+        pages, user_pw=b"uspw", owner_pw=b"own3r", method=method
+    )
+    assert extract_pdf_text(locked, password=b"own3r") == plain
+
+
+def test_password_pdf_converts_through_pipeline():
+    """pdf_to_text must accept the password and run the full extract ->
+    normalize -> convert pipeline on a protected file."""
+    from openccnet_spark.sources.pdf import pdf_to_text
+    from openccnet_spark.sources.pdf_synth import build_pdf_encrypted
+
+    locked = build_pdf_encrypted([["这是简体内容。"]], user_pw=b"pw", method="aesv3")
+    assert pdf_to_text(locked, config="s2t", password=b"pw").strip() == "這是簡體內容。"
+
+
+def test_incremental_update_free_entry_tombstones_old_object():
+    """An object freed in a NEWER xref section must not be resurrected
+    from its older /Prev definition (deleted content must stay deleted —
+    PDF 1.7 incremental-update semantics)."""
+    from openccnet_spark.sources.pdf import PdfDocument, extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import build_pdf
+
+    base = build_pdf([["秘密已删除的内容。"]])
+    m = None
+    import re as _re
+    for m in _re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    old_xref = int(m.group(1))
+    upd = bytearray(base)
+    new_xref = len(upd)
+    # free object 6 (page 1's content stream) in the update section
+    upd += (
+        b"xref\n6 1\n0000000000 00001 f \n"
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (old_xref, new_xref)
+    )
+    doc = PdfDocument(bytes(upd))
+    assert doc.xref_loaded is True
+    assert 6 in doc._free and 6 not in doc.objects
+    assert extract_pdf_text(bytes(upd)).strip() == ""
+    assert "秘密" in extract_pdf_text(base)
+
+
+def test_hybrid_xrefstm_takes_precedence_over_prev():
+    """Hybrid-reference files: /XRefStm's (newer) entries must register
+    before the /Prev chain's older ones (PDF 1.7 §7.5.8.4)."""
+    import zlib as _zlib
+
+    from openccnet_spark.sources.pdf import PdfDocument, extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import _cid_hex, build_pdf
+
+    base = build_pdf([["旧版本文字。"]])
+    import re as _re
+    for m in _re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    old_xref = int(m.group(1))
+    upd = bytearray(base)
+    # new content object 6 (replaces the old one)
+    new6_off = len(upd)
+    content = b"BT /F1 12 Tf 72 720 Td " + _cid_hex("新版本文字。") + b" Tj ET"
+    flate = _zlib.compress(content)
+    upd += (
+        b"6 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(flate)
+        + flate + b"\nendstream\nendobj\n"
+    )
+    # xref STREAM holding the newer entry for object 6 (W=[1 4 2], raw)
+    stm_off = len(upd)
+    entry = bytes([1]) + new6_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    upd += (
+        b"100 0 obj\n<< /Type /XRef /Size 101 /Index [6 1] /W [1 4 2]"
+        b" /Root 1 0 R /Length %d >>\nstream\n" % len(entry)
+        + entry + b"\nendstream\nendobj\n"
+    )
+    # hybrid classic table: no entries of its own; XRefStm + Prev
+    new_xref = len(upd)
+    upd += (
+        b"xref\n0 0\ntrailer\n<< /Size 101 /Root 1 0 R /Prev %d /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (old_xref, stm_off, new_xref)
+    )
+    doc = PdfDocument(bytes(upd))
+    assert doc.xref_loaded is True
+    text = extract_pdf_text(bytes(upd))
+    assert "新版本文字" in text and "旧版本" not in text
+
+
+def test_v4_stmf_identity_streams_are_plaintext():
+    """V4 encryption with /StmF Identity leaves streams unencrypted (a
+    legal configuration): extraction must work, not be marked
+    unsupported."""
+    from openccnet_spark.sources.pdf import PdfDocument, extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import _build_objects, _obj
+
+    pages = [["正常可读的内容。"]]
+    objects = _build_objects(pages, cjk=True, compress=True)
+    enc_num = max(objects) + 1
+    objects[enc_num] = _obj(
+        enc_num,
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        b" /StmF /Identity /StrF /StdCF"
+        b" /O <" + b"11" * 32 + b"> /U <" + b"22" * 32 + b"> /P -44 >>",
+    )
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (enc_num + 1)
+    for num in range(1, enc_num + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R"
+        b" /ID [<aa11> <aa11>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (enc_num + 1, enc_num, xref_pos)
+    )
+    doc = PdfDocument(bytes(out))
+    assert doc.encryption_unsupported is False and doc._file_key is None
+    assert "正常可读的内容" in extract_pdf_text(bytes(out))
