@@ -659,6 +659,63 @@ def _q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted NEAR-neighbors at vec_id+100000: each copy has
+    its last element zeroed — a deterministic perturbation both engines
+    reproduce EXACTLY (no float arithmetic, just element replacement), so
+    cos(original, copy) ~ 0.99 instead of the degenerate 1.0 of an exact
+    duplicate. This is the workload an ANN index exists for; the uniform-
+    random sf vectors in `similarity_recall` are its adversarial floor."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63), F.array(F.lit(0.0).cast("float"))
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def _q_similarity_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-neighbor recall: for each query, is its planted near-copy
+    (cos ~ 0.99) in the ANN top-5 and the IVF top-5? The oracle replays
+    both indexes over the same planted corpus AND asserts the floor as a
+    literal (`floor_met` = TRUE): if either index ever misses a planted
+    neighbor, the Spark side computes FALSE and the driver's hash check
+    fails — the recall the index exists to deliver is pinned, not just
+    reported."""
+    from openccnet_spark.operators.similarity import ivf_topk, lsh_ann_topk
+
+    corpus = _planted_embeddings(spark, sf_dir)
+    qids = [0, 1, 2, 3, 4]
+    hit = F.max(
+        F.when(F.col("neighbor_id") == F.col("query_id") + 100000, 1).otherwise(0)
+    )
+    ann = (
+        lsh_ann_topk(corpus, qids, k=5)
+        .groupBy("query_id")
+        .agg(hit.cast("long").alias("ann_hit"))
+    )
+    ivf = (
+        ivf_topk(corpus, qids, k=5)
+        .groupBy("query_id")
+        .agg(hit.cast("long").alias("ivf_hit"))
+    )
+    base = spark.createDataFrame([(q,) for q in qids], "query_id long")
+    return (
+        base.join(ann, "query_id", "left")
+        .join(ivf, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("ann_hit", F.lit(0)).alias("ann_hit"),
+            F.coalesce("ivf_hit", F.lit(0)).alias("ivf_hit"),
+        )
+        .withColumn(
+            "floor_met", (F.col("ann_hit") + F.col("ivf_hit")) == 2
+        )
+    )
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, fingerprint over documents."""
     from openccnet_spark.operators import textstats as T
@@ -1024,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": _armed(_q_similarity_ann),
         "similarity_ivf": _armed(_q_similarity_ivf),
         "similarity_recall": _armed(_q_similarity_recall),
+        "similarity_recall_planted": _armed(_q_similarity_recall_planted),
         "textstats": _armed(_q_textstats),
         "vocab_topk": _armed(_q_vocab_topk),
         "quality_quantiles": _armed(_q_quality_quantiles),
@@ -1351,6 +1409,7 @@ def _optional_oracles() -> dict[str, str]:
     for name, builder in (
         ("similarity_ivf", _similarity_ivf_oracle),
         ("similarity_recall", _similarity_recall_oracle),
+        ("similarity_recall_planted", _similarity_recall_planted_oracle),
     ):
         try:
             out[name] = builder()
@@ -1364,6 +1423,36 @@ def _optional_oracles() -> dict[str, str]:
             else:
                 raise
     return out
+
+
+def _similarity_recall_planted_oracle() -> str:
+    """Replays ANN + IVF over the planted corpus (original vectors plus
+    zeroed-last-element copies at vec_id+100000 — element replacement, so
+    the perturbed float32 arrays are bit-identical across engines) and
+    pins the recall floor: ``floor_met`` is the LITERAL true, so a missed
+    planted neighbor on the Spark side hash-mismatches instead of being
+    silently reported as lower recall."""
+    planted = (
+        "SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL "
+        "SELECT vec_id + 100000 AS vec_id, embedding[1:63] || [0.0::FLOAT] AS embedding "
+        "FROM embeddings"
+    )
+    ann = _similarity_ann_oracle(src="p")
+    ivf = _similarity_ivf_oracle(src="p", planted=True)
+    return f"""
+WITH p AS ({planted}),
+ann AS (SELECT query_id, neighbor_id FROM ({ann})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf}))
+SELECT v.query_id::BIGINT AS query_id,
+       coalesce(max(CASE WHEN a.neighbor_id = v.query_id + 100000 THEN 1 END), 0)::BIGINT AS ann_hit,
+       coalesce(max(CASE WHEN i.neighbor_id = v.query_id + 100000 THEN 1 END), 0)::BIGINT AS ivf_hit,
+       TRUE AS floor_met
+FROM (VALUES (0), (1), (2), (3), (4)) v(query_id)
+LEFT JOIN ann a ON a.query_id = v.query_id
+LEFT JOIN ivf i ON i.query_id = v.query_id
+GROUP BY v.query_id
+"""
 
 
 def _similarity_recall_oracle() -> str:
@@ -1508,11 +1597,13 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
-def _similarity_ann_oracle() -> str:
+def _similarity_ann_oracle(src: str = "embeddings") -> str:
     """The ANN bucket fold, replayed exactly in DuckDB: the hyperplanes are
     deterministic float64 literals and each projection is the same
     left-to-right double fold as the Spark expression (cf. ``sql_dot``), so
-    sign bits — and therefore candidate buckets — match bit-for-bit."""
+    sign bits — and therefore candidate buckets — match bit-for-bit.
+    ``src``: the (vec_id, embedding) relation to index — a view name or a
+    CTE name (the planted-recall oracle passes its planted corpus)."""
     from openccnet_spark.operators.similarity import (
         N_HYPERPLANES,
         N_TABLES,
@@ -1539,7 +1630,7 @@ def _similarity_ann_oracle() -> str:
 WITH b AS (
   SELECT vec_id, embedding,
          {keys}
-  FROM embeddings
+  FROM {src}
 ), cand AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          q.embedding AS qv, c.embedding AS nv
@@ -1557,7 +1648,7 @@ SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 
 """
 
 
-def _similarity_ivf_oracle() -> str:
+def _similarity_ivf_oracle(src: str = "embeddings", planted: bool = False) -> str:
     """Rebuild the IVF index in DuckDB: the centroids are recomputed from
     the same sorted parquet sample with the same numpy code (bit-identical
     float64), each per-centroid dot is the same left-to-right fold, and
@@ -1580,9 +1671,20 @@ def _similarity_ivf_oracle() -> str:
     # when the comparison runs against a different scale factor.
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = f"{sf_dir}/embeddings.parquet"
-    rows = duckdb.sql(
-        f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT {IVF_SAMPLE}"
-    ).fetchall()
+    if planted:
+        # replay ivf_topk's bounded sample over the PLANTED corpus
+        # (originals + zeroed-last-element copies at vec_id+100000): the
+        # id sort puts every original (< 100000) before every copy, so
+        # concatenation in that order IS the sorted sample
+        base = duckdb.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id"
+        ).fetchall()
+        vecs = [list(r[0]) for r in base] + [list(r[0])[:63] + [0.0] for r in base]
+        rows = [(v,) for v in vecs[:IVF_SAMPLE]]
+    else:
+        rows = duckdb.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT {IVF_SAMPLE}"
+        ).fetchall()
     centroids = ivf_centroids(np.array([r[0] for r in rows], dtype=np.float64))
 
     def dot(i: int) -> str:
@@ -1597,7 +1699,7 @@ def _similarity_ivf_oracle() -> str:
 WITH b AS (
   SELECT vec_id, embedding,
          list_value({ds}) AS ds
-  FROM embeddings
+  FROM {src}
 ), t AS (
   SELECT vec_id, embedding, ds, list_indexof(ds, list_max(ds)) AS cluster FROM b
 ), q AS (
