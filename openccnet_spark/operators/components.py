@@ -219,16 +219,26 @@ def canonical_documents(
     id_col: str = "doc_id",
     max_iterations: int = 30,
     reliable: bool = False,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Per-document dedup decision from a near-dup pair list:
     (doc_id, component, is_canonical, n_members). Documents that appear in
     no pair are their own singleton component (canonical by definition).
     The keep-set = rows with ``is_canonical`` true — the end-to-end
     "dedup this corpus" operator built from pairs + components.
+    ``algorithm``: 'propagation' (O(diameter), the near-dup default) or
+    'star' (large-star/small-star, O(log n) for unbounded diameters).
     """
-    comp = connected_components(
-        pairs, max_iterations=max_iterations, reliable=reliable
-    )
+    if algorithm == "star":
+        comp = connected_components_star(
+            pairs, max_iterations=max_iterations, reliable=reliable
+        )
+    elif algorithm == "propagation":
+        comp = connected_components(
+            pairs, max_iterations=max_iterations, reliable=reliable
+        )
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r} (propagation|star)")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     labeled = (
         docs.select(F.col(id_col))

@@ -1142,15 +1142,19 @@ def convert_pdf_files(
     add_page_header: bool = False,
     reflow: bool = False,
     compact: bool = False,
+    password: bytes | str = b"",
 ) -> DataFrame:
-    """binaryFile scan -> per-file extract/reflow/convert -> (path, text)."""
+    """binaryFile scan -> per-file extract/reflow/convert -> (path, text).
+    ``password`` (one shared user/owner password, the common corpus case)
+    is captured into the UDF closure and shipped with the task."""
     binary = spark.read.format("binaryFile").load(path_glob)
 
     def _extract(batches):
         for pdf in batches:
             out = [
                 pdf_to_text(
-                    bytes(c), config, punct, add_page_header, reflow, compact
+                    bytes(c), config, punct, add_page_header, reflow, compact,
+                    password=password,
                 )
                 for c in pdf["content"]
             ]

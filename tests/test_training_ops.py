@@ -304,3 +304,36 @@ SELECT node, min(label) FROM walk GROUP BY node
         ).fetchall()
     )
     assert got == oracle and len(got) == 1000
+
+
+def test_canonical_documents_star_algorithm(spark):
+    """canonical_documents(algorithm='star') must match propagation."""
+    from openccnet_spark.operators.components import canonical_documents
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    prop = {r.doc_id: (r.component, r.is_canonical, r.n_members)
+            for r in canonical_documents(pairs, docs).collect()}
+    star = {r.doc_id: (r.component, r.is_canonical, r.n_members)
+            for r in canonical_documents(pairs, docs, algorithm="star").collect()}
+    assert star == prop
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown algorithm"):
+        canonical_documents(pairs, docs, algorithm="bogus")
+
+
+def test_convert_pdf_files_with_password(spark, tmp_path):
+    """The distributed PDF source must ship the password into the
+    mapInPandas workers."""
+    from openccnet_spark.sources.pdf import convert_pdf_files
+    from openccnet_spark.sources.pdf_synth import build_pdf_encrypted
+
+    pdf = build_pdf_encrypted([["这是简体内容。"]], user_pw=b"pw", method="rc4")
+    (tmp_path / "locked.pdf").write_bytes(pdf)
+    rows = convert_pdf_files(
+        spark, str(tmp_path / "*.pdf"), config="s2t", password=b"pw"
+    ).collect()
+    assert len(rows) == 1 and rows[0].text.strip() == "這是簡體內容。"
+    # without the password: honest empty extraction, no exception
+    empty = convert_pdf_files(spark, str(tmp_path / "*.pdf"), config="s2t").collect()
+    assert empty[0].text.strip() == ""
