@@ -83,6 +83,13 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # pre-partition on the per-round join key: the persisted
+        # HashPartitioning(dst) satisfies every iteration's join
+        # distribution, so the big edge frame shuffles ONCE up front
+        # instead of once per round (the labels side still shuffles —
+        # it is rebuilt each round — but it is the small side: one row
+        # per node vs one per directed edge)
+        .repartition("dst")
         .persist()
     )
     try:
