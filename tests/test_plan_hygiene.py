@@ -139,3 +139,22 @@ def test_salted_join_carries_salt_in_join_keys(spark):
     df = salted_join(li, orders, ["o_orderkey"], F.col("l_linenumber"), n_salt=4)
     plan = _plan(df)
     assert "_salt" in plan
+
+
+def test_no_rowwise_python_in_any_query(spark):
+    """GLOBAL invariant: no driver query may contain a row-at-a-time
+    Python UDF stage (BatchEvalPython) — Python is allowed only as
+    Arrow-vectorized stages (ArrowEvalPython / mapInPandas). Row-wise
+    Python is the canonical 10-100x hot-path slowdown at scale."""
+    import __spark_entry__ as entry_mod
+
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            plan = _plan(fn(spark, SF_DIR), "simple")
+        except Exception as exc:  # a broken builder is its own failure
+            offenders.append((name, f"builder failed: {exc}"))
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython stage"))
+    assert not offenders, offenders

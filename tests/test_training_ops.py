@@ -337,3 +337,14 @@ def test_convert_pdf_files_with_password(spark, tmp_path):
     # without the password: honest empty extraction, no exception
     empty = convert_pdf_files(spark, str(tmp_path / "*.pdf"), config="s2t").collect()
     assert empty[0].text.strip() == ""
+
+
+def test_star_components_edge_cases(spark):
+    """Empty pair list and self-loop-only input must not hang or throw."""
+    from openccnet_spark.operators.components import connected_components_star
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components_star(empty).count() == 0
+    selfloops = spark.createDataFrame([(7, 7), (8, 8)], "a long, b long")
+    got = {r.node: r.component for r in connected_components_star(selfloops).collect()}
+    assert got == {7: 7, 8: 8}
