@@ -216,3 +216,85 @@ def test_unescape_writes_readable_unicode(tmp_path, compiled_slots):
     assert "㐷" not in esc_text and "\\u3437" in esc_text.replace("\\u3437".lower(), "\\u3437")
     with pytest.raises(ValueError, match="unescape"):
         write_reference_bundle(compiled_slots, tmp_path / "x.cbor", "cbor", unescape=True)
+
+
+# --- property tests for the round-4 encoders --------------------------------
+
+from hypothesis import given, settings as _hsettings, strategies as st
+
+_hsettings.register_profile(
+    "bundle", _hsettings(derandomize=True, deadline=None, max_examples=200)
+)
+_hsettings.load_profile("bundle")
+
+_cbor_scalars = st.one_of(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.integers(min_value=-(2**64), max_value=-1),
+    st.text(max_size=20),
+    st.binary(max_size=20),
+    st.booleans(),
+    st.none(),
+)
+_cbor_values = st.recursive(
+    _cbor_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=5),
+        st.dictionaries(st.text(max_size=8), inner, max_size=5),
+    ),
+    max_leaves=20,
+)
+
+
+@given(_cbor_values)
+def test_cbor_encoder_roundtrip_property(value):
+    """encode_cbor -> decode_cbor is the identity on the full value domain
+    the bundle writer can emit (nested maps/lists, 64-bit ints, unicode
+    incl. astral, bytes, bool, null)."""
+    from openccnet_spark.reference_bundle import encode_cbor
+
+    assert decode_cbor(encode_cbor(value)) == value
+
+
+@given(st.binary(max_size=300_000))
+@_hsettings(derandomize=True, deadline=None, max_examples=30)
+def test_zstd_raw_frame_roundtrip_property(payload):
+    """zstd_raw_frame output must decode to the payload through the
+    independent RFC 8878 decoder — including multi-block (>128 KiB) and
+    empty payloads."""
+    from openccnet_spark.reference_bundle import zstd_raw_frame
+    from openccnet_spark.zstd_decode import decompress
+
+    assert decompress(zstd_raw_frame(payload)) == payload
+
+
+@given(st.dictionaries(
+    st.text(min_size=1, max_size=6, alphabet=st.one_of(
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4E2F),
+        st.characters(min_codepoint=0x20000, max_codepoint=0x2000F),  # astral
+        st.characters(min_codepoint=0x41, max_codepoint=0x5A),
+    )),
+    st.text(max_size=6), max_size=40,
+))
+def test_slot_metadata_matches_reference_semantics(table):
+    """slot_metadata must reproduce the C# semantics on arbitrary tables:
+    lengths in UTF-16 units, bit len-1 masks, surrogate-pair starters."""
+    from openccnet_spark.reference_bundle import slot_metadata, utf16_len
+
+    md = slot_metadata(table)
+    lens = [utf16_len(k) for k in table]
+    assert md["MaxLength"] == (max(lens) if lens else 0)
+    assert md["MinLength"] == (min(lens) if lens else 0)
+    expect_mask = 0
+    for n in lens:
+        if n <= 64:
+            expect_mask |= 1 << (n - 1)
+    assert md["LengthMask"] == expect_mask
+    if table:
+        for k in table:
+            starter = k[0]
+            assert starter in md["StarterLenMask"]
+            n = utf16_len(k)
+            if n <= 64:
+                assert md["StarterLenMask"][starter] & (1 << (n - 1))
+    else:
+        assert md["StarterLenMask"] is None
