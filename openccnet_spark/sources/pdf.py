@@ -1062,9 +1062,26 @@ def _page_text(doc: PdfDocument, page: dict) -> str:
             for item in stack[-1]:
                 if isinstance(item, bytes):
                     cur.append(_decode_with_font(item, cur_font))
+                elif isinstance(item, (int, float)) and item < -180:
+                    # a large negative TJ adjustment (thousandths of text
+                    # space) is the common word-gap encoding; PdfPig's
+                    # position-based extractor renders it as whitespace.
+                    # -180 is the conventional threshold (cf. pdfminer's
+                    # word-margin default); kerning tweaks are far smaller.
+                    if cur and not cur[-1].endswith((" ", "\n")):
+                        cur.append(" ")
         elif op in (b"Td", b"TD") and len(stack) >= 2 and isinstance(stack[-1], (int, float)):
             if stack[-1] != 0:  # vertical move => new line
                 newline()
+            elif (
+                cur
+                and isinstance(stack[-2], (int, float))
+                and stack[-2] > 0
+                and not cur[-1].endswith((" ", "\n"))
+            ):
+                # same-baseline forward jump mid-line (tab stop / column
+                # gap): positional extractors emit a separating space
+                cur.append(" ")
         elif op == b"T*":
             newline()
         elif op == b"Tm" and len(stack) >= 6 and isinstance(stack[-1], (int, float)):

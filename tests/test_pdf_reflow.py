@@ -577,3 +577,40 @@ def test_v4_stmf_identity_streams_are_plaintext():
     doc = PdfDocument(bytes(out))
     assert doc.encryption_unsupported is False and doc._file_key is None
     assert "正常可读的内容" in extract_pdf_text(bytes(out))
+
+
+def test_positional_whitespace_heuristics():
+    """Same-baseline Td jumps and large negative TJ adjustments must
+    surface as separating spaces (the positional-whitespace behavior of
+    the reference's ContentOrderTextExtractor), while small kerning
+    tweaks must not."""
+    import zlib as _zlib
+
+    from openccnet_spark.sources.pdf import extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import _build_objects, _obj
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (left) Tj 200 0 Td (right) Tj "
+        b"0 -14 Td [(ker) -50 (ned)] TJ "
+        b"0 -14 Td [(word) -400 (gap)] TJ ET"
+    )
+    objects = _build_objects([[""]], cjk=False, compress=False)
+    flate = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    objects[6] = b"6 0 obj\n" + flate + b"\nendobj\n"
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (max(objects) + 1)
+    for num in range(1, max(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max(objects) + 1, xref_pos)
+    )
+    text = extract_pdf_text(bytes(out))
+    assert "left right" in text      # Td forward jump -> space
+    assert "kerned" in text          # -50 kerning -> NO space
+    assert "word gap" in text        # -400 adjustment -> space
