@@ -762,45 +762,12 @@ def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     off q-at-rank-ceil(p*n) as the smallest q whose cumulative count reaches
     the target rank — identical to the sorted-rank definition because rows
     tied on q share the same q by construction. No Window anywhere in the
-    plan (pinned by test_plan_hygiene)."""
-    from openccnet_spark.operators import textstats as T
+    plan (pinned by test_plan_hygiene). Plan built by
+    `textstats.quality_quantiles_frame` — shared with tools/ab_round4.py
+    so the A/B always measures the shipped plan."""
+    from openccnet_spark.operators.textstats import quality_quantiles_frame
 
-    docs = _read(spark, sf_dir, "documents")
-    q = T.quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
-    hist = (
-        docs.select("lang", q.alias("q"))
-        .groupBy("lang", "q")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    per_lang = hist.groupBy("lang").agg(
-        F.sort_array(F.collect_list(F.struct("q", "cnt"))).alias("h"),
-        F.sum("cnt").alias("n"),
-    )
-    targets = {
-        "p50": F.ceil(F.lit(0.5) * F.col("n")),
-        "p90": F.ceil(F.lit(0.9) * F.col("n")),
-        "p99": F.ceil(F.lit(0.99) * F.col("n")),
-    }
-    zero = F.struct(
-        F.lit(0).cast("long").alias("cum"),
-        *[F.lit(None).cast("long").alias(k) for k in targets],
-    )
-
-    def step(acc, x):
-        cum = acc["cum"] + x["cnt"]
-        return F.struct(
-            cum.alias("cum"),
-            *[
-                F.coalesce(acc[k], F.when(cum >= t, x["q"])).alias(k)
-                for k, t in targets.items()
-            ],
-        )
-
-    res = F.aggregate(F.col("h"), zero, step)
-    return per_lang.select(
-        "lang",
-        *[res[k].alias(f"{k}_milli") for k in targets],
-    )
+    return quality_quantiles_frame(_read(spark, sf_dir, "documents"))
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,8 @@ provably stable at the star fixpoint, and the digest is deterministic.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -55,12 +57,18 @@ from pyspark.sql import functions as F
 def _checkpointer(df: DataFrame, reliable: bool):
     """Materialize + cut lineage: localCheckpoint (fast, executor-local)
     or reliable checkpoint (survives executor loss; requires a checkpoint
-    dir — auto-set to a temp dir when unset, for local[*] use)."""
+    dir — auto-set to a temp dir when unset, for local[*] use). Spark
+    does not delete reliable checkpoint data itself, so an auto-created
+    dir is removed at interpreter exit (repeated bench/driver runs must
+    not accumulate per-round frames under /tmp); a cluster job should
+    point ``setCheckpointDir`` at durable storage it manages."""
     if not reliable:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="openccnet-ckpt-"))
+        ckpt = tempfile.mkdtemp(prefix="openccnet-ckpt-")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+        sc.setCheckpointDir(ckpt)
     return df.checkpoint()
 
 

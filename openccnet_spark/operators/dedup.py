@@ -274,10 +274,10 @@ def ngram_jaccard_pairs_bruteforce(
     the guard when composing it per-bucket inside a larger job.
     """
     if guard_max_rows is not None:
-        n = df.count()
-        if n > guard_max_rows:
+        # bounded probe (limit+count), never a full pass over the input
+        if df.limit(guard_max_rows + 1).count() > guard_max_rows:
             raise ValueError(
-                f"ngram_jaccard_pairs_bruteforce is O(n^2): {n} rows > "
+                f"ngram_jaccard_pairs_bruteforce is O(n^2): input exceeds "
                 f"guard_max_rows={guard_max_rows}. Use minhash_near_duplicates "
                 "at scale, or pass guard_max_rows=None for per-bucket use."
             )

@@ -304,10 +304,12 @@ def embedding_near_duplicates(
     input is production-sized. Pass ``None`` only for bounded per-bucket use.
     """
     if guard_max_rows is not None:
-        n = df.count()
-        if n > guard_max_rows:
+        # bounded probe, not a full count: scan stops after the first
+        # guard_max_rows+1 rows instead of materializing the whole input
+        # just to decide the guard
+        if df.limit(guard_max_rows + 1).count() > guard_max_rows:
             raise ValueError(
-                f"embedding_near_duplicates is O(n^2): {n} rows > "
+                f"embedding_near_duplicates is O(n^2): input exceeds "
                 f"guard_max_rows={guard_max_rows}. Use lsh_near_duplicates "
                 "at scale, or pass guard_max_rows=None for per-bucket use."
             )

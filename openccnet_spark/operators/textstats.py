@@ -101,3 +101,46 @@ def sql_fingerprint64(t: str) -> str:
         f"list_transform(string_split_regex({t}, ''), c -> ascii(c)::BIGINT)), "
         f"(acc, c) -> (acc * 31 + c) % 2147483647)"
     )
+
+
+def quality_quantiles_frame(docs):
+    """Exact per-language quality-score percentiles (p50/p90/p99) from a
+    (lang, text) frame via the window-free bounded-domain histogram plan
+    (see `__spark_entry__._q_quality_quantiles` for the full rationale):
+    groupBy(lang, q).count() map-side combines to <= 1001 rows per
+    language, a second groupBy collects each language's sorted (q, cnt)
+    array, and a linear JVM fold reads off q-at-rank-ceil(p*n). Shared by
+    the driver query and the bench A/B so they always measure the same
+    plan."""
+    q = quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
+    hist = (
+        docs.select("lang", q.alias("q"))
+        .groupBy("lang", "q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_lang = hist.groupBy("lang").agg(
+        F.sort_array(F.collect_list(F.struct("q", "cnt"))).alias("h"),
+        F.sum("cnt").alias("n"),
+    )
+    targets = {
+        "p50": F.ceil(F.lit(0.5) * F.col("n")),
+        "p90": F.ceil(F.lit(0.9) * F.col("n")),
+        "p99": F.ceil(F.lit(0.99) * F.col("n")),
+    }
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        *[F.lit(None).cast("long").alias(k) for k in targets],
+    )
+
+    def step(acc, x):
+        cum = acc["cum"] + x["cnt"]
+        return F.struct(
+            cum.alias("cum"),
+            *[
+                F.coalesce(acc[k], F.when(cum >= t, x["q"])).alias(k)
+                for k, t in targets.items()
+            ],
+        )
+
+    res = F.aggregate(F.col("h"), zero, step)
+    return per_lang.select("lang", *[res[k].alias(f"{k}_milli") for k in targets])

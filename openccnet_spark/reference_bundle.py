@@ -132,7 +132,17 @@ def _doc(slots: dict[str, dict[str, str]], style: str) -> dict:
     return out
 
 
-_LOWER_U = re.compile(r"\\u([0-9a-f]{4})")
+#: scans escape-sequence tokens left-to-right: a literal backslash escape
+#: (\\) is consumed whole so the 'u' of a following "...\\uXXXX" literal
+#: is never misread as a unicode escape (e.g. the 7-char value "a\\u4e2d"
+#: serializes as "a\\\\u4e2d" and must NOT be case-changed)
+_LOWER_U = re.compile(r"\\\\|\\u([0-9a-f]{4})")
+
+
+def _upper_u(m: re.Match) -> str:
+    if m.group(1) is None:  # an escaped literal backslash: keep verbatim
+        return m.group(0)
+    return "\\u" + m.group(1).upper()
 
 
 def _json_bytes(doc: dict, indent: bool, escape: bool) -> bytes:
@@ -140,7 +150,7 @@ def _json_bytes(doc: dict, indent: bool, escape: bool) -> bytes:
         text = json.dumps(doc, ensure_ascii=True, indent=2 if indent else None,
                           separators=None if indent else (",", ":"))
         # System.Text.Json emits uppercase hex in \uXXXX escapes
-        text = _LOWER_U.sub(lambda m: "\\u" + m.group(1).upper(), text)
+        text = _LOWER_U.sub(_upper_u, text)
     else:
         text = json.dumps(doc, ensure_ascii=False, indent=2 if indent else None,
                           separators=None if indent else (",", ":"))

@@ -361,6 +361,17 @@ class PdfDocument:
         self._password = (
             password.encode("utf-8") if isinstance(password, str) else bytes(password)
         )
+        # the legacy (R2-R4) standard security handler takes PDFDocEncoding
+        # passwords (~Latin-1 for the printable range), NOT UTF-8 — keep a
+        # Latin-1 candidate for str passwords so "café" opens both vintages
+        self._password_alt = b""
+        if isinstance(password, str):
+            try:
+                alt = password.encode("latin-1")
+                if alt != self._password:
+                    self._password_alt = alt
+            except UnicodeEncodeError:
+                pass
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}  # raw (still encoded) stream data
         self.gens: dict[int, int] = {}  # object generations (per-object keys)
@@ -475,14 +486,20 @@ class PdfDocument:
         length = int(self.resolve(enc.get("Length", 40)) or 40) // 8
         if v == 1:
             length = 5
-        # supplied password as user (Algorithm 2), then as owner
-        # (Algorithm 7), then the common empty-user-password case
+        # each candidate encoding (UTF-8 str bytes, then Latin-1 for str
+        # passwords — the legacy handler's PDFDocEncoding) as user
+        # (Algorithm 2), then as owner (Algorithm 7), then the common
+        # empty-user-password case
         from .pdf_crypt import authenticate_owner_password
 
         args = (o, u, p, id0 or b"", int(r), length, bool(em))
-        key = authenticate_user_password(self._password, *args)
-        if key is None and self._password:
-            key = authenticate_owner_password(self._password, *args)
+        candidates = [self._password] + ([self._password_alt] if self._password_alt else [])
+        key = None
+        for pw in candidates:
+            if key is None:
+                key = authenticate_user_password(pw, *args)
+            if key is None and pw:
+                key = authenticate_owner_password(pw, *args)
         if key is None and self._password:
             key = authenticate_user_password(b"", *args)
         if key is None:
@@ -619,6 +636,7 @@ class PdfDocument:
         sub_re = re.compile(rb"\s*(\d+)\s+(\d+)[ ]*(\r\n|\r|\n)")
         ent_re = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
         offsets: list[int] = []
+        freed: list[int] = []
         while True:
             m = sub_re.match(d, pos)
             if not m:
@@ -632,11 +650,8 @@ class PdfDocument:
                 onum = start_num + i
                 if em.group(3) == b"n" and onum != 0:
                     offsets.append(int(em.group(1)))
-                elif em.group(3) == b"f" and onum != 0 and onum not in self.objects:
-                    # freed here and not defined by any NEWER section:
-                    # tombstone so an older /Prev definition cannot
-                    # resurrect deleted content (sections walk newest-first)
-                    self._free.add(onum)
+                elif em.group(3) == b"f" and onum != 0:
+                    freed.append(onum)
                 pos = em.end()
                 # entries are fixed 20 bytes; tolerate 19-byte writers
                 while pos < len(d) and d[pos] in b"\r\n ":
@@ -652,10 +667,19 @@ class PdfDocument:
             self._parse_object_at(off, pending)
         # hybrid-reference files: /XRefStm points at the stream holding the
         # NEWER entries and takes precedence over /Prev (PDF 1.7 §7.5.8.4),
-        # so with first-loaded-wins it must register first
+        # so with first-loaded-wins it must register first — and BEFORE this
+        # table's free entries become tombstones: the standard Acrobat
+        # hybrid shape marks its hidden objects 'f' in the classic table
+        # while the xref stream holds their real entries
         xrefstm = trailer.get("XRefStm")
         if isinstance(xrefstm, int):
             self._load_xref_section(xrefstm, pending, seen, depth + 1)
+        for onum in freed:
+            if onum not in self.objects:
+                # freed here and not defined by this section's XRefStm or
+                # any NEWER section: tombstone so an older /Prev definition
+                # cannot resurrect deleted content (walk is newest-first)
+                self._free.add(onum)
         prev = trailer.get("Prev")
         if isinstance(prev, int):
             self._load_xref_section(prev, pending, seen, depth + 1)
@@ -880,6 +904,11 @@ class PdfDocument:
             for onum, off in pairs:
                 if not (isinstance(onum, int) and isinstance(off, int)):
                     continue
+                if onum in self._free:
+                    # the tombstone invariant covers compressed objects
+                    # too: a number freed by a NEWER section must not be
+                    # resurrected out of an older section's ObjStm
+                    continue
                 lex = _Lexer(payload, first + off)
                 try:
                     val = lex.next_token()
@@ -1032,9 +1061,19 @@ def _page_text(doc: PdfDocument, page: dict) -> str:
     cur_font: tuple[dict[int, str], int] | None = None
     stack: list = []
     last_ty: float | None = None
+    font_size = 12.0
+    # crude text-space advance estimate since the last positioning op:
+    # CJK/fullwidth glyphs ~1 em, others ~0.5 em. Only used to decide
+    # whether a same-baseline Td jump is a real gap (tab stop / column)
+    # or just per-run absolute positioning of contiguous text.
+    advance = 0.0
+
+    def est_width(s: str) -> float:
+        return sum(font_size if ord(c) >= 0x2E80 else font_size * 0.5 for c in s)
 
     def newline():
-        nonlocal cur
+        nonlocal cur, advance
+        advance = 0.0
         if cur:
             lines.append("".join(cur))
             cur = []
@@ -1053,35 +1092,51 @@ def _page_text(doc: PdfDocument, page: dict) -> str:
         op = tok  # bare bytes token == content operator
         if op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], Name):
             cur_font = fonts.get(str(stack[-2]))
+            if isinstance(stack[-1], (int, float)) and stack[-1] > 0:
+                font_size = float(stack[-1])
         elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
-            cur.append(_decode_with_font(stack[-1], cur_font))
+            shown = _decode_with_font(stack[-1], cur_font)
+            cur.append(shown)
+            advance += est_width(shown)
         elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
             newline()
-            cur.append(_decode_with_font(stack[-1], cur_font))
+            shown = _decode_with_font(stack[-1], cur_font)
+            cur.append(shown)
+            advance += est_width(shown)
         elif op == b"TJ" and stack and isinstance(stack[-1], list):
             for item in stack[-1]:
                 if isinstance(item, bytes):
-                    cur.append(_decode_with_font(item, cur_font))
-                elif isinstance(item, (int, float)) and item < -180:
-                    # a large negative TJ adjustment (thousandths of text
-                    # space) is the common word-gap encoding; PdfPig's
-                    # position-based extractor renders it as whitespace.
-                    # -180 is the conventional threshold (cf. pdfminer's
-                    # word-margin default); kerning tweaks are far smaller.
-                    if cur and not cur[-1].endswith((" ", "\n")):
-                        cur.append(" ")
+                    shown = _decode_with_font(item, cur_font)
+                    cur.append(shown)
+                    advance += est_width(shown)
+                elif isinstance(item, (int, float)):
+                    advance += -float(item) / 1000.0 * font_size
+                    if item < -180:
+                        # a large negative TJ adjustment (thousandths of
+                        # text space) is the common word-gap encoding;
+                        # PdfPig's position-based extractor renders it as
+                        # whitespace. -180 is the conventional threshold
+                        # (cf. pdfminer's word-margin default); kerning
+                        # tweaks are far smaller.
+                        if cur and not cur[-1].endswith((" ", "\n")):
+                            cur.append(" ")
         elif op in (b"Td", b"TD") and len(stack) >= 2 and isinstance(stack[-1], (int, float)):
             if stack[-1] != 0:  # vertical move => new line
                 newline()
-            elif (
-                cur
-                and isinstance(stack[-2], (int, float))
-                and stack[-2] > 0
-                and not cur[-1].endswith((" ", "\n"))
-            ):
-                # same-baseline forward jump mid-line (tab stop / column
-                # gap): positional extractors emit a separating space
-                cur.append(" ")
+            elif isinstance(stack[-2], (int, float)):
+                tx = float(stack[-2])
+                # a same-baseline jump is a REAL gap only when it clearly
+                # exceeds the estimated width of the text already shown on
+                # this line — per-run absolute positioning of contiguous
+                # text (tx == previous run's advance) must NOT get a space
+                if (
+                    cur
+                    and tx - advance > 0.3 * font_size
+                    and not cur[-1].endswith((" ", "\n"))
+                ):
+                    cur.append(" ")
+                # Td moves the line origin: rebase the advance estimate
+                advance = max(advance - tx, 0.0)
         elif op == b"T*":
             newline()
         elif op == b"Tm" and len(stack) >= 6 and isinstance(stack[-1], (int, float)):

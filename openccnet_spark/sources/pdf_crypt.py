@@ -1,18 +1,21 @@
-"""PDF standard security handler (PDF 1.7 spec §7.6.3) — RC4 subset.
+"""PDF standard security handler (PDF 1.7 §7.6.3 / PDF 2.0 §7.6.4).
 
-Many "encrypted" text PDFs in the wild use the standard handler with an
-EMPTY user password (the file opens everywhere; encryption only enforces
-permissions). This module implements exactly that decryption path:
+Covers both the common EMPTY-user-password case (permissions-only
+encryption that every viewer opens transparently) and SUPPLIED user or
+owner passwords:
 
-* Algorithm 2  — file encryption key from the (empty) user password,
-  /O, /P, the first document ID, for revisions 2 and 3/4;
+* Algorithm 2  — file encryption key from a user password, /O, /P, the
+  first document ID, for revisions 2 and 3/4;
 * Algorithm 4/5 — user-password verification against /U;
-* per-object keys (md5 of file key + object number + generation) and RC4.
+* Algorithm 7  — owner-password verification (decrypt /O back to the
+  padded user password, then authenticate it);
+* Algorithm 2.A/2.B — AES-256 (V5 revisions 5/6) user AND owner paths,
+  with the revision-6 iterated hash;
+* per-object keys (md5 of file key + object number + generation), RC4.
 
-AES (/CFM /AESV2, /V 5) and real passwords are out of scope: the caller
-treats those files as honestly unreadable (pages extract as empty), the
-same degradation as any unsupported filter. All algorithms here are from
-the public PDF specification.
+A wrong password degrades via the caller's ``encryption_unsupported``
+surface (pages extract as empty). All algorithms here are from the
+public PDF specification; AES primitives live in ``pdf_aes.py``.
 """
 
 from __future__ import annotations

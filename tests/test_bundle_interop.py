@@ -298,3 +298,21 @@ def test_slot_metadata_matches_reference_semantics(table):
                 assert md["StarterLenMask"][starter] & (1 << (n - 1))
     else:
         assert md["StarterLenMask"] is None
+
+
+def test_json_escape_uppercasing_skips_literal_backslashes():
+    """A slot value containing a LITERAL backslash followed by 'uXXXX'
+    text must survive the \\uXXXX-uppercasing pass unchanged (the escape
+    scanner must not match across an escaped backslash) — code-review
+    finding, round 4."""
+    import json as _json
+
+    from openccnet_spark.reference_bundle import _json_bytes
+
+    doc = {"slot": {"Dict": {"k": "a\\u4e2d", "中": "值"}}}
+    out = _json_bytes(doc, indent=False, escape=True)
+    back = _json.loads(out.decode("utf-8"))
+    assert back["slot"]["Dict"]["k"] == "a\\u4e2d"  # byte-for-byte survived
+    assert back["slot"]["Dict"]["中"] == "值"
+    # real escapes ARE uppercased in the serialized text
+    assert b"\\u4E2D" in out

@@ -614,3 +614,142 @@ def test_positional_whitespace_heuristics():
     assert "left right" in text      # Td forward jump -> space
     assert "kerned" in text          # -50 kerning -> NO space
     assert "word gap" in text        # -400 adjustment -> space
+
+
+def test_hybrid_classic_f_entries_do_not_tombstone_xrefstm_objects():
+    """The standard Acrobat hybrid shape marks its hidden objects 'f' in
+    the classic table while the /XRefStm holds their real entries — those
+    objects must load, not be tombstoned (code-review finding, round 4)."""
+    import re as _re
+    import zlib as _zlib
+
+    from openccnet_spark.sources.pdf import PdfDocument, extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import _cid_hex, build_pdf
+
+    base = build_pdf([["旧版本文字。"]])
+    for m in _re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    old_xref = int(m.group(1))
+    upd = bytearray(base)
+    new6_off = len(upd)
+    content = b"BT /F1 12 Tf 72 720 Td " + _cid_hex("新版本文字。") + b" Tj ET"
+    flate = _zlib.compress(content)
+    upd += (
+        b"6 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(flate)
+        + flate + b"\nendstream\nendobj\n"
+    )
+    stm_off = len(upd)
+    entry = bytes([1]) + new6_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    upd += (
+        b"100 0 obj\n<< /Type /XRef /Size 101 /Index [6 1] /W [1 4 2]"
+        b" /Root 1 0 R /Length %d >>\nstream\n" % len(entry)
+        + entry + b"\nendstream\nendobj\n"
+    )
+    new_xref = len(upd)
+    # the CLASSIC table marks 6 free (hidden-object convention); the
+    # XRefStm of the SAME section holds 6's real entry
+    upd += (
+        b"xref\n6 1\n0000000000 00001 f \n"
+        b"trailer\n<< /Size 101 /Root 1 0 R /Prev %d /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (old_xref, stm_off, new_xref)
+    )
+    doc = PdfDocument(bytes(upd))
+    assert 6 in doc.objects and 6 not in doc._free
+    text = extract_pdf_text(bytes(upd))
+    assert "新版本文字" in text and "旧版本" not in text
+
+
+def test_freed_object_not_resurrected_from_objstm():
+    """The tombstone invariant must hold for compressed objects: a number
+    freed by a newer section must not come back out of an older section's
+    /ObjStm (code-review finding, round 4)."""
+    from openccnet_spark.sources.pdf import PdfDocument
+
+    inner = b"<< /Marker true >>"
+    stm_payload = b"20 0\n" + inner
+    first = 5
+    objects = {
+        1: b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        2: b"2 0 obj\n<< /Type /Pages /Count 0 /Kids [] >>\nendobj\n",
+        10: (
+            b"10 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d >>\nstream\n"
+            % (first, len(stm_payload))
+            + stm_payload + b"\nendstream\nendobj\n"
+        ),
+    }
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for num in (1, 2):
+        out += b"%d 1\n%010d 00000 n \n" % (num, offsets[num])
+    out += b"10 1\n%010d 00000 n \n" % offsets[10]
+    out += (
+        b"trailer\n<< /Size 21 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    )
+    base = bytes(out)
+    doc = PdfDocument(base)
+    assert 20 in doc.objects  # expanded from the ObjStm
+    # incremental update frees 20
+    upd = bytearray(base)
+    new_xref = len(upd)
+    upd += (
+        b"xref\n20 1\n0000000000 00001 f \n"
+        b"trailer\n<< /Size 21 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (xref_pos, new_xref)
+    )
+    doc2 = PdfDocument(bytes(upd))
+    assert 20 in doc2._free and 20 not in doc2.objects
+
+
+def test_midword_td_positioning_gets_no_space():
+    """Per-run absolute positioning of contiguous text (tx equals the
+    previous run's advance) must NOT inject a space — only clear gaps do
+    (code-review finding, round 4)."""
+    from openccnet_spark.sources.pdf import extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import _build_objects
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (bo) Tj 12 0 Td (ld) Tj "
+        b"40 0 Td (gap) Tj ET"
+    )
+    objects = _build_objects([[""]], cjk=False, compress=False)
+    objects[6] = (
+        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream\nendobj\n"
+    )
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (max(objects) + 1)
+    for num in range(1, max(objects) + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max(objects) + 1, xref_pos)
+    )
+    text = extract_pdf_text(bytes(out))
+    # "bo" (2 ASCII @ 6 units = 12) + Td 12 -> contiguous; Td 40 - 12 -> gap
+    assert "bold gap" in text
+
+
+@_pytest.mark.parametrize("method", ["rc4", "aesv2"])
+def test_legacy_password_latin1_encoding(method):
+    """R2-R4 standard-handler passwords are PDFDocEncoding (~Latin-1):
+    a str password with non-ASCII must open a file encrypted with its
+    Latin-1 bytes (code-review finding, round 4)."""
+    from openccnet_spark.sources.pdf import extract_pdf_text
+    from openccnet_spark.sources.pdf_synth import build_pdf, build_pdf_encrypted
+
+    pages = [["内容文字。"]]
+    plain = extract_pdf_text(build_pdf(pages))
+    locked = build_pdf_encrypted(
+        pages, user_pw="café".encode("latin-1"), method=method
+    )
+    assert extract_pdf_text(locked, password="café") == plain

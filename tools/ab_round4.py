@@ -45,37 +45,12 @@ def quantiles_window(docs):
 
 
 def quantiles_hist(docs):
-    """The r04 plan (shared with _q_quality_quantiles)."""
-    q = T.quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
-    hist = docs.select("lang", q.alias("q")).groupBy("lang", "q").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    per_lang = hist.groupBy("lang").agg(
-        F.sort_array(F.collect_list(F.struct("q", "cnt"))).alias("h"),
-        F.sum("cnt").alias("n"),
-    )
-    targets = {
-        "p50": F.ceil(F.lit(0.5) * F.col("n")),
-        "p90": F.ceil(F.lit(0.9) * F.col("n")),
-        "p99": F.ceil(F.lit(0.99) * F.col("n")),
-    }
-    zero = F.struct(
-        F.lit(0).cast("long").alias("cum"),
-        *[F.lit(None).cast("long").alias(k) for k in targets],
-    )
+    """The r04 plan — the SAME builder the driver query ships
+    (textstats.quality_quantiles_frame), so this A/B side cannot drift
+    from the measured production plan."""
+    from openccnet_spark.operators.textstats import quality_quantiles_frame
 
-    def step(acc, x):
-        cum = acc["cum"] + x["cnt"]
-        return F.struct(
-            cum.alias("cum"),
-            *[
-                F.coalesce(acc[k], F.when(cum >= t, x["q"])).alias(k)
-                for k, t in targets.items()
-            ],
-        )
-
-    res = F.aggregate(F.col("h"), zero, step)
-    return per_lang.select("lang", *[res[k].alias(f"{k}_milli") for k in targets])
+    return quality_quantiles_frame(docs)
 
 
 def components_variant(spark, sf_dir, prepartition: bool):
