@@ -348,3 +348,30 @@ def test_star_components_edge_cases(spark):
     selfloops = spark.createDataFrame([(7, 7), (8, 8)], "a long, b long")
     got = {r.node: r.component for r in connected_components_star(selfloops).collect()}
     assert got == {7: 7, 8: 8}
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    """Seeded random graphs (varying density, with isolated pairs and
+    multi-edges): large-star/small-star must equal min-label propagation
+    node-for-node on every one."""
+    import random
+
+    from openccnet_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        n = rng.randint(5, 40)
+        m = rng.randint(3, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        prop = {r.node: r.component
+                for r in connected_components(pairs, max_iterations=50).collect()}
+        star = {r.node: r.component
+                for r in connected_components_star(pairs).collect()}
+        assert star == prop, f"trial {trial}: {sorted(edges)}"
