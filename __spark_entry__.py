@@ -1522,10 +1522,11 @@ lab AS (
   SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
   FROM d LEFT JOIN comp c ON d.doc_id = c.node
 ),
-sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
-SELECT l.doc_id, l.component, (l.doc_id = l.component) AS is_canonical,
-       coalesce(s.n, 1)::BIGINT AS n_members
-FROM lab l LEFT JOIN sizes s ON l.component = s.component
+sizes AS (SELECT component, count(*) AS n, min(doc_id) AS canon
+          FROM lab GROUP BY component)
+SELECT l.doc_id, l.component, (l.doc_id = s.canon) AS is_canonical,
+       s.n::BIGINT AS n_members
+FROM lab l JOIN sizes s ON l.component = s.component
 """
 
 

@@ -34,14 +34,15 @@ multi-hour 100 TB runs. If no checkpoint dir is configured, a local
 temporary one is set (fine on local[*]; a cluster job should point it at
 durable storage).
 
-Fixpoint detection (propagation) uses the SUM of all labels: labels only
-ever decrease (min of a set including the old value), and they are
-integers, so an unchanged sum between rounds proves no label moved — one
-cheap aggregate on the already-checkpointed frame instead of a self-join
-diff. The star variant compares an order-insensitive 64-bit edge-set
-digest (count + XOR of xxhash64(u, v); edges are distinct so XOR is a
-set digest, and unlike sum it cannot ANSI-overflow) between rounds: the edge set is
-provably stable at the star fixpoint, and the digest is deterministic.
+Fixpoint detection (both variants) compares an order-insensitive 64-bit
+set digest between rounds — count + XOR of xxhash64 over the frame's
+unique rows ((node, label) pairs for propagation, (u, v) edges for the
+star variant). Labels only ever decrease (min of a set including the old
+value), so an unchanged label set means no label moved — the fixpoint.
+A raw SUM of labels would be simpler but ARITHMETIC_OVERFLOWs under
+default-on ANSI mode for 64-bit (e.g. hash-derived) node ids; the XOR
+digest cannot overflow and is deterministic (collision odds ~2^-64 per
+comparison).
 """
 
 from __future__ import annotations
@@ -105,7 +106,22 @@ def connected_components(
             "label", F.col("node")
         )
         labels = _checkpointer(labels, reliable)
-        prev_sum = labels.agg(F.sum("label")).first()[0]
+
+        def digest(frame):
+            # ANSI-safe label-set digest: summing raw labels overflows on
+            # 64-bit (e.g. xxhash64-derived) ids — ARITHMETIC_OVERFLOW
+            # under default-on ANSI mode. (node, label) pairs are unique,
+            # so count + XOR of xxhash64 is an order-insensitive set
+            # digest; labels are monotone-decreasing, so an unchanged set
+            # (whp) means no label moved — the fixpoint. Same digest as
+            # the star variant.
+            row = frame.agg(
+                F.count(F.lit(1)),
+                F.coalesce(F.bit_xor(F.xxhash64("node", "label")), F.lit(0)),
+            ).first()
+            return (row[0], row[1])
+
+        prev = digest(labels)
         for _ in range(max_iterations):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.node)
@@ -121,10 +137,10 @@ def connected_components(
                 ),
                 reliable,
             )
-            cur_sum = labels.agg(F.sum("label")).first()[0]
-            if cur_sum == prev_sum:  # labels are monotone-decreasing integers
+            cur = digest(labels)
+            if cur == prev:
                 break
-            prev_sum = cur_sum
+            prev = cur
         else:
             raise ValueError(
                 f"connected_components did not converge in {max_iterations} rounds "
@@ -254,7 +270,6 @@ def canonical_documents(
         )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r} (propagation|star)")
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     labeled = (
         docs.select(F.col(id_col))
         .join(comp, docs[id_col] == comp.node, "left")
@@ -262,15 +277,30 @@ def canonical_documents(
             F.col(id_col),
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         )
+    )
+    # canonical id + member count come from the DOCS side of the join,
+    # not the pair graph: if the pair list references ids no longer in
+    # docs (stale snapshot, pre-filtered corpus), the component minimum
+    # may be a ghost and `doc_id == component` would elect NO canonical,
+    # silently dropping the whole cluster from the keep-set. Electing the
+    # surviving min-id member keeps exactly one canonical per cluster;
+    # for pairs ⊆ docs (the normal case) it is identical to
+    # doc_id == component, and n_members counts documents, not graph
+    # nodes.
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return (
+        labeled
         # NOT broadcast: component count grows with the corpus (one row
         # per cluster) — a plain shuffle join; AQE may still broadcast it
         # when it is actually small
-        .join(sizes, "component", "left")
+        .join(sizes, "component")
         .select(
             id_col,
             "component",
-            (F.col(id_col) == F.col("component")).alias("is_canonical"),
-            F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+            F.col("n_members").cast("long").alias("n_members"),
         )
     )
-    return labeled

@@ -139,7 +139,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                     h = np.array(
                         [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.uint64
                     )
-                    # (a*h + b) mod p, all perms x all shingles, min per perm
+                    # ((a*h + b) wrapped mod 2^64) mod p, all perms x all
+                    # shingles, min per perm. NB the uint64 product WRAPS
+                    # before the % p, so this is a fixed deterministic
+                    # mixing family, NOT an exact evaluation of the
+                    # universal hash (a*h+b) mod p — any cross-engine
+                    # recompute must reproduce the same mod-2^64 wrap.
+                    # Recall is what matters and is validated against the
+                    # brute-force exact-Jaccard oracle, not a collision
+                    # bound.
                     vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
                     sig = vals.min(axis=1).astype(np.int64)
                 ids.append(did)
@@ -338,6 +346,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(_sign, out_schema)
 
 
+SIMHASH_MAX_BUCKET = 2000  # per-band guard: caps one bucket's join at ~4M rows
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -345,6 +356,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     persist: bool = False,
     handles: list | None = None,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dups via pigeonhole banding on 4 x 15-bit prefixes.
 
@@ -377,6 +389,18 @@ def simhash_near_duplicates(
         ]
     )
     buckets = sh.select(id_col, "simhash", F.explode(bands).alias("band_key"))
+    # degenerate-bucket guard, same contract as the MinHash/embedding
+    # siblings: m identical signatures (mass-duplicated boilerplate,
+    # empty-ish texts) share ALL band keys and would re-create the
+    # O(m^2) join the banding exists to avoid; drop those buckets (the
+    # exact-dup path is the right tool for identical content). The cap is
+    # LOOSER than MinHash's: a 15-bit band legitimately clusters hundreds
+    # of near-template documents (real pairs — dropping them is recall
+    # loss), so the guard trips only at sizes where one bucket's join
+    # contribution (~max_bucket^2 rows) threatens the stage, not at mere
+    # hot-band density. Pigeonhole soundness holds for pairs outside
+    # dropped buckets.
+    buckets = oversized_bucket_filter(buckets, "band_key", max_bucket=max_bucket)
     a = buckets.select("band_key", F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
     b = buckets.select("band_key", F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")

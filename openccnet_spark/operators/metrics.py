@@ -43,7 +43,15 @@ def with_partition_id(df: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, metrics_path: str) -> set:
-    """Buckets already marked done in the metrics table (empty if none)."""
+    """Buckets already marked done in the metrics table (empty if none).
+
+    Only the missing-table case (first run: the metrics path does not
+    exist yet) maps to "nothing done"; any OTHER read failure — transient
+    FS error, permissions, corrupt footer — must raise, or a resume would
+    silently reprocess every bucket of a multi-hour run and append
+    duplicate lineage rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.parquet(metrics_path)
@@ -52,8 +60,10 @@ def completed_buckets(spark: SparkSession, metrics_path: str) -> set:
             .distinct()
             .collect()
         )
-    except Exception:
-        return set()
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return set()
+        raise
     return {r.partition_id for r in rows}
 
 
@@ -96,25 +106,34 @@ def checkpointed_quality_filter(
 
     src = with_partition_id(src, n_buckets)
     done = completed_buckets(spark, metrics_path)
-    pending_df = src.filter(~F.col("partition_id").isin(sorted(done))) if done else src
-
-    # Which buckets actually have pending data (anti-join vs metrics)?
-    pending = sorted(
-        r.partition_id
-        for r in pending_df.select("partition_id").distinct().collect()
-    )
+    # candidate buckets = the bucket-id complement — pure driver-side
+    # arithmetic. (A distinct-collect over the source to enumerate which
+    # of <= n_buckets small integers hold data would cost a FULL extra
+    # scan of the corpus; instead, which candidates actually had rows is
+    # read off the <= n_buckets-row metrics frame after the run.) A
+    # candidate with no source rows THIS run writes no metrics row and
+    # stays pending — data for it arriving later is still processed.
+    pending = sorted(set(range(n_buckets)) - done)
     if not pending:
         return {"processed": [], "skipped": sorted(done)}
+    pending_df = src.filter(F.col("partition_id").isin(pending)) if done else src
 
     out = quality_filter(pending_df, **pipeline_kwargs)
     # Data first (idempotent dynamic partition overwrite)...
     out.write.mode("overwrite").partitionBy("partition_id").parquet(data_path)
-    # ...then the lineage/metrics commit marks the buckets done.
+    # ...then the lineage/metrics commit marks the buckets done. Collect
+    # the tiny per-bucket frame ONCE (<= n_buckets rows) and append the
+    # collected rows, so the aggregation is not recomputed for the write.
     written = spark.read.parquet(data_path).filter(
         F.col("partition_id").isin(pending)
     )
     m = bucket_metrics(written).withColumn("run_id", F.lit(run_id)).withColumn(
         "status", F.lit("done")
     )
-    m.write.mode("append").parquet(metrics_path)
-    return {"processed": pending, "skipped": sorted(done)}
+    m_rows = m.collect()
+    if m_rows:
+        spark.createDataFrame(m_rows, m.schema).write.mode("append").parquet(
+            metrics_path
+        )
+    processed = sorted(r["partition_id"] for r in m_rows)
+    return {"processed": processed, "skipped": sorted(done)}

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .quality import HAN_CLASS
+from .quality import HAN_CLASS, SYMBOL_RE
 
 #: BPE-ish token pattern: letter runs, digit runs, single Han chars,
 #: any other non-space symbol — one match per token.
@@ -39,15 +39,20 @@ def quality_score_milli(col: Column) -> Column:
     n = F.length(col)
     words = F.split(col, " ")
     uniq = F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1))
-    symbols = (n - F.length(F.regexp_replace(col, f"[^A-Za-z0-9 \t\n\r{HAN_CLASS}]", ""))) / F.greatest(n, F.lit(1))
+    # SYMBOL_RE is quality.py's single source of truth for the symbol
+    # class — the quality gate, its oracle, and this score must never
+    # diverge on what counts as a symbol
+    symbols = (n - F.length(F.regexp_replace(col, SYMBOL_RE, ""))) / F.greatest(n, F.lit(1))
     length_term = F.least(n.cast("double") / 200.0, F.lit(1.0))
     score = (0.4 * length_term + 0.4 * uniq + 0.2 * (1.0 - symbols))
     return F.floor(score * 1000).cast("long")
 
 
 def sql_quality_score_milli(t: str) -> str:
+    # same SYMBOL_RE constant as the Spark side (literal characters — the
+    # RE2-literal-chars rule for patterns shared with DuckDB oracles)
     sym = (
-        f"(length({t}) - length(regexp_replace({t}, '[^A-Za-z0-9 \\t\\n\\r{HAN_CLASS}]', '', 'g')))"
+        f"(length({t}) - length(regexp_replace({t}, '{SYMBOL_RE}', '', 'g')))"
         f" / greatest(length({t}), 1)::DOUBLE"
     )
     uniq = (

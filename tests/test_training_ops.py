@@ -375,3 +375,15 @@ def test_star_matches_propagation_on_random_graphs(spark):
         star = {r.node: r.component
                 for r in connected_components_star(pairs).collect()}
         assert star == prop, f"trial {trial}: {sorted(edges)}"
+
+
+def test_simhash_degenerate_bucket_guard(spark):
+    """Mass-identical text (identical simhash -> all band keys shared)
+    must hit the oversized-bucket guard instead of building an O(m^2)
+    candidate join; distinct texts below the cap are unaffected."""
+    rows = [(i, "identical boilerplate text repeated verbatim") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the clone count: the degenerate bucket is dropped entirely
+    assert dedup.simhash_near_duplicates(df, max_bucket=10).count() == 0
+    # cap above it: all C(30,2) identical pairs come back (hamming 0)
+    assert dedup.simhash_near_duplicates(df, max_bucket=100).count() == 435
