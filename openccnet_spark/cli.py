@@ -47,7 +47,10 @@ def _codec(name: str) -> str:
 
 def _read_input(path: str | None, encoding: str) -> str:
     if path:
-        return Path(path).read_text(encoding=_codec(encoding))
+        # read_bytes + decode, NOT read_text: universal-newline mode would
+        # silently rewrite CRLF/CR to LF, breaking byte-exactness and
+        # diverging from the stdin path (which decodes raw bytes)
+        return Path(path).read_bytes().decode(_codec(encoding))
     if sys.stdin.isatty():
         # interactive parity with the reference (ConvertCommand.cs:303-321)
         print(
@@ -61,7 +64,9 @@ def _read_input(path: str | None, encoding: str) -> str:
 
 def _write_output(path: str | None, text: str, encoding: str) -> None:
     if path:
-        Path(path).write_text(text, encoding=_codec(encoding))
+        # write_bytes for byte-exact output (no newline translation),
+        # symmetric with _read_input
+        Path(path).write_bytes(text.encode(_codec(encoding)))
     else:
         sys.stdout.buffer.write(text.encode(_codec(encoding)))
         if sys.stdout.isatty() and text and not text.endswith("\n"):
@@ -98,6 +103,14 @@ def _stream_convert(args: argparse.Namespace, cc) -> int:
     in_codec = _codec(args.in_enc)
     out_codec = _codec(args.out_enc)
     level = parse_level(args.detofu) if args.detofu is not None else None
+    detofu_map = None
+    if level is not None and args.detofu_file:
+        from .detofu import DeTofuMap
+
+        # parse the immutable custom map once, not once per input line
+        detofu_map = DeTofuMap.builtin(cc.bundle, level).with_custom_file(
+            args.detofu_file
+        )
     for raw in sys.stdin.buffer:
         line = raw.decode(in_codec)
         # preserve the exact original line ending (\n, \r\n, or none at EOF)
@@ -108,10 +121,7 @@ def _stream_convert(args: argparse.Namespace, cc) -> int:
             line = cc.normalize_compat(line)
         out = cc.convert(line, args.config, args.punct, preserve_ids=args.keep_ids)
         if level is not None:
-            if args.detofu_file:
-                out = cc.detofu_with_custom_file(out, level, args.detofu_file)
-            else:
-                out = cc.detofu(out, level)
+            out = detofu_map.convert(out) if detofu_map else cc.detofu(out, level)
         sys.stdout.buffer.write((out + nl).encode(out_codec))
         sys.stdout.buffer.flush()
     if cc.get_last_error():
@@ -122,6 +132,8 @@ def _stream_convert(args: argparse.Namespace, cc) -> int:
 def _cmd_convert(args: argparse.Namespace) -> int:
     from .detofu import parse_level
 
+    if args.detofu_file and args.detofu is None:
+        raise SystemExit("--detofu-file requires --detofu LEVEL (it was ignored silently before)")
     cc = _converter(args.custom_dict)
     if args.stream:
         if args.input or args.output:

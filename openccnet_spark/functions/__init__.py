@@ -45,7 +45,10 @@ def _worker_converter(
         appends: dict = {}
         for slot, mode, text in custom_key:
             target = overrides if mode == "override" else appends
-            target[slot] = parse_dict_text(text)
+            # repeated specs for the same slot/mode MERGE (later entries
+            # win per key) — same rule as cli._converter, so the CLI and
+            # the distributed UDF path apply identical custom tables
+            target.setdefault(slot, {}).update(parse_dict_text(text))
         bundle = bundle.with_custom(overrides=overrides, appends=appends)
     return Converter(bundle)
 
@@ -283,17 +286,19 @@ def detofu_udf(level: int = 0, custom_text: str | None = None, custom_pairs: dic
     return _detofu
 
 
-_DETOFU_MAPS: dict = {}
-
-
 def _worker_detofu_map(cc, level: int, custom_text, frozen_pairs):
     """Per-worker cache of customized DeTofu maps — the builtin-table copy
     and custom-entry parse happen once per (level, customs), not once per
-    Arrow batch."""
-    # bundle identity is part of the key: a custom-dictionary Converter
-    # must never reuse a map built from another bundle
-    key = (id(cc.bundle), level, custom_text, frozen_pairs)
-    m = _DETOFU_MAPS.get(key)
+    Arrow batch. The cache lives ON the Converter instance (not a module
+    global keyed by id(bundle)): its lifetime is then exactly the
+    converter's, so an lru_cache-evicted converter can neither leak its
+    maps nor have a recycled id() serve another bundle's table."""
+    cache = getattr(cc, "_detofu_maps", None)
+    if cache is None:
+        cache = {}
+        cc._detofu_maps = cache
+    key = (level, custom_text, frozen_pairs)
+    m = cache.get(key)
     if m is None:
         from ..detofu import DeTofuMap
 
@@ -302,7 +307,7 @@ def _worker_detofu_map(cc, level: int, custom_text, frozen_pairs):
             m.with_custom_text(custom_text)
         if frozen_pairs:
             m.with_custom_pairs(frozen_pairs)
-        _DETOFU_MAPS[key] = m
+        cache[key] = m
     return m
 
 
@@ -322,14 +327,17 @@ def register_sql_functions(spark, prefix: str = "cc_") -> list:
     def _convert2(text: pd.Series, config: pd.Series) -> pd.Series:
         cc = _worker_converter()
         return pd.Series(
-            [None if t is None else cc.convert(t, c) for t, c in zip(text, config)]
+            # NULL config propagates NULL (never silently the instance
+            # default direction), matching every other SQL function's
+            # NULL handling
+            [None if t is None or c is None else cc.convert(t, c) for t, c in zip(text, config)]
         )
 
     @F.pandas_udf(StringType())
     def _convert2p(text: pd.Series, config: pd.Series) -> pd.Series:
         cc = _worker_converter()
         return pd.Series(
-            [None if t is None else cc.convert(t, c, punct=True) for t, c in zip(text, config)]
+            [None if t is None or c is None else cc.convert(t, c, punct=True) for t, c in zip(text, config)]
         )
 
     pairs = [

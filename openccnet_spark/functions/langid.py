@@ -117,11 +117,6 @@ def _tri_hashes(text: str) -> np.ndarray:
     return (b[:-2] * 961 + b[1:-1] * 31 + b[2:]) % _HASH_BUCKETS
 
 
-def hash_trigram(g: str) -> int:
-    h = _tri_hashes(g)
-    return int(h[1]) if h.size > 2 else int(h[0])
-
-
 @lru_cache(maxsize=1)
 def _profile_matrix() -> np.ndarray:
     """(n_langs, buckets) log-frequency weights from the seed corpora."""

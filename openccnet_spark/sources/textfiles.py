@@ -18,10 +18,14 @@ big5, shift_jis, utf-16 == the reference's "UNICODE").
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 ENCODINGS = ("utf-8", "utf-16", "gbk", "gb2312", "big5", "shift_jis")
+
+_NEWLINES = re.compile("\r\n|\r|\n")
 
 LINES_SCHEMA = "path string, line_no long, text string"
 
@@ -50,7 +54,16 @@ def read_text_files(
             paths, line_nos, texts = [], [], []
             for p, content in zip(pdf["path"], pdf["content"]):
                 decoded = bytes(content).decode(encoding, errors=errors)
-                for i, line in enumerate(decoded.splitlines()):
+                # newline-only splitting (\r\n, \r, \n) — str.splitlines
+                # would ALSO split on \v \f \x1c-\x1e \x85 U+2028/29,
+                # shifting every subsequent line_no vs the file's actual
+                # newline count (and vs wc -l / spark.read.text / the
+                # reference CLI). A trailing newline terminates the last
+                # line rather than opening an empty one, like splitlines.
+                lines = _NEWLINES.split(decoded) if decoded else []
+                if lines and lines[-1] == "":
+                    lines.pop()
+                for i, line in enumerate(lines):
                     paths.append(p)
                     line_nos.append(i)
                     texts.append(line)

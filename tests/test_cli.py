@@ -119,3 +119,25 @@ def test_dictgen_reference_format_passthrough(tmp_path):
     compiled = load_bundle()
     for s in SLOTS:
         assert b.slots[s] == compiled.slots[s], s
+
+
+def test_file_input_preserves_crlf(tmp_path):
+    """-i file input must be byte-exact (no universal-newline rewrite of
+    CRLF/CR), matching the stdin path — code-review finding, round 4."""
+    src, dst = tmp_path / "in.txt", tmp_path / "out.txt"
+    src.write_bytes("软件\r\n第二行\r没有结尾".encode("utf-8"))
+    assert main(["convert", "-c", "s2t", "-i", str(src), "-o", str(dst)]) == 0
+    assert dst.read_bytes() == "軟件\r\n第二行\r沒有結尾".encode("utf-8")
+
+
+def test_detofu_file_without_level_errors(tmp_path):
+    """--detofu-file without --detofu was silently ignored; it must now
+    fail loudly — code-review finding, round 4."""
+    import pytest
+
+    src = tmp_path / "in.txt"
+    src.write_text("文字", encoding="utf-8")
+    custom = tmp_path / "c.txt"
+    custom.write_text("𬺰\t炸\tExtG\n", encoding="utf-8")
+    with pytest.raises(SystemExit, match="requires --detofu"):
+        main(["convert", "-c", "s2t", "--detofu-file", str(custom), "-i", str(src)])

@@ -30,3 +30,22 @@ def test_load_custom_specs(tmp_path):
     f.write_text("软件\t軟體X\n", encoding="utf-8")
     out = load_custom_specs([f"st_phrases:append:{f}"])
     assert out == [("st_phrases", "append", "软件\t軟體X\n")]
+
+
+def test_repeated_same_slot_specs_merge_in_udf_path(spark):
+    """Two -D append specs on the SAME slot must both apply in the
+    distributed UDF path, exactly as cli._converter merges them
+    (code-review finding, round 4)."""
+    from pyspark.sql import functions as F
+
+    from openccnet_spark.functions import convert_udf
+
+    custom = [
+        ("st_phrases", "append", "自定义一\t自定義壹\n"),
+        ("st_phrases", "append", "自定义二\t自定義貳\n"),
+    ]
+    df = spark.createDataFrame([("自定义一和自定义二",)], "text string")
+    out = df.select(
+        convert_udf("s2t", custom=custom)(F.col("text")).alias("o")
+    ).first()
+    assert out.o == "自定義壹和自定義貳"

@@ -31,3 +31,17 @@ def test_sql_functions(spark):
     assert by_text["這是繁體字。"].lang == "zh"
     assert by_text[None].s2t is None
     assert by_text["几千只软件"].ppl > 0
+
+
+def test_cc_convert_null_config_propagates_null(spark):
+    """A NULL config must yield NULL — never a silent conversion in the
+    instance-default direction (code-review finding, round 4)."""
+    from openccnet_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT cc_convert(text, cfg) AS o, cc_convert_punct(text, cfg) AS p "
+        "FROM VALUES ('软件', 's2t'), ('软件', CAST(NULL AS STRING)) AS v(text, cfg)"
+    ).collect()
+    assert rows[0].o == "軟件" and rows[0].p == "軟件"
+    assert rows[1].o is None and rows[1].p is None

@@ -37,3 +37,21 @@ def test_decode_then_convert(spark, tmp_path):
         .collect()
     )
     assert out[0].converted == "簡體中文第一行"
+
+
+def test_line_numbers_split_on_newlines_only(spark, tmp_path):
+    """A form feed / U+2028 inside a line must NOT split it: line_no
+    lineage must match the file's actual newline count (wc -l semantics)
+    — code-review finding, round 4."""
+    from openccnet_spark.sources.textfiles import read_text_files
+
+    p = tmp_path / "ff.txt"
+    p.write_bytes("第一行有\x0c换页符\nline 2\nlast".encode("utf-8"))
+    rows = sorted(
+        read_text_files(spark, str(p)).collect(), key=lambda r: r.line_no
+    )
+    assert [(r.line_no, r.text) for r in rows] == [
+        (0, "第一行有\x0c换页符"),
+        (1, "line 2"),
+        (2, "last"),
+    ]
