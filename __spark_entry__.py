@@ -56,7 +56,9 @@ def _ensure_workers(spark: SparkSession) -> None:
     UDF queries work even when the session's workers don't inherit this
     repo on their import path (e.g. driver launched from another cwd)."""
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, NOT id(sc): a stopped context's recycled object
+    # address could otherwise silently skip addPyFile for a NEW context
+    key = sc.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     from tools.package_pyfiles import build
@@ -159,14 +161,15 @@ def _q_bundle_zstd_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one UDF per config (the bundle-path converter is config-static);
     # goldens are few, so a CASE over per-config UDF columns is fine
     out = None
-    for config in sorted({c for _i, c, _p, _t in rows}):
-        for punct in (False, True):
-            sub = df.filter((F.col("config") == config) & (F.col("punct") == F.lit(punct)))
-            conv = sub.select(
-                "case_id", "config",
-                convert_udf(config, punct=punct, bundle_path=_ZSTD_BUNDLE)("input").alias("output"),
-            )
-            out = conv if out is None else out.unionByName(conv)
+    # only the (config, punct) combos that actually occur — half of the
+    # full product is provably empty and would just pad the plan
+    for config, punct in sorted({(c, p) for _i, c, p, _t in rows}):
+        sub = df.filter((F.col("config") == config) & (F.col("punct") == F.lit(punct)))
+        conv = sub.select(
+            "case_id", "config",
+            convert_udf(config, punct=punct, bundle_path=_ZSTD_BUNDLE)("input").alias("output"),
+        )
+        out = conv if out is None else out.unionByName(conv)
     return out
 
 
@@ -266,15 +269,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mutant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + near-duplicates (each doc minus its last word)."""
-    docs = _read(spark, sf_dir, "documents")
-    mutated = docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
-        "text",
-        F.expr(
-            "substring(text, 1, length(text) - length(element_at(split(text, ' '), -1)) - 1)"
-        ),
-    )
-    return docs.unionByName(mutated)
+    """documents + near-duplicates (each doc minus its last word); the
+    mutation expression lives in dedup.append_word_dropped_mutants so the
+    bench's scaled family measures the identical shape."""
+    from openccnet_spark.operators.dedup import append_word_dropped_mutants
+
+    return append_word_dropped_mutants(_read(spark, sf_dir, "documents"))
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,7 +1276,13 @@ FROM events GROUP BY 1, 2
 WITH g AS (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   -- floor() each side: the Spark query computes the gap
+                   -- from unix_timestamp (whole-second truncation), so the
+                   -- oracle must truncate identically or a gap straddling
+                   -- the 1800 s boundary by a sub-second fraction
+                   -- hash-mismatches (computed values never cross the
+                   -- comparison raw)
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )

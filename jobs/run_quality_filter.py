@@ -18,6 +18,8 @@ the same --output skips buckets already marked done in the metrics table
 
 from __future__ import annotations
 
+import os
+
 import argparse
 import sys
 
@@ -50,11 +52,18 @@ def main(argv=None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    src = (
-        spark.read.table(args.input)
-        if "." in args.input and "/" not in args.input
-        else spark.read.parquet(args.input)
+    # table-vs-path routing: a dotted name is a catalog table ONLY if it
+    # is not a file that exists and has no data-file extension — otherwise
+    # `--input transcripts.parquet` (a relative path, the docstring's own
+    # first usage form) would misroute to spark.read.table
+    _inp = args.input
+    _is_table = (
+        "." in _inp
+        and "/" not in _inp
+        and not _inp.lower().endswith((".parquet", ".orc", ".json", ".csv"))
+        and not os.path.exists(_inp)
     )
+    src = spark.read.table(_inp) if _is_table else spark.read.parquet(_inp)
     salt = args.salt_partitions or spark.sparkContext.defaultParallelism * 3
     result = checkpointed_quality_filter(
         spark,

@@ -411,3 +411,24 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def append_word_dropped_mutants(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_offset: int = 100_000,
+) -> DataFrame:
+    """docs + near-duplicate mutants (each doc minus its last word) at
+    ``id + id_offset`` — THE mutant shape shared by the driver's
+    dedup corpora, the bench's scaled family, and (replicated in SQL) the
+    DuckDB oracles, so all three always measure the same near-dup
+    workload."""
+    mutated = docs.withColumn(id_col, F.col(id_col) + id_offset).withColumn(
+        text_col,
+        F.expr(
+            f"substring({text_col}, 1, length({text_col}) - "
+            f"length(element_at(split({text_col}, ' '), -1)) - 1)"
+        ),
+    )
+    return docs.unionByName(mutated)
