@@ -74,21 +74,13 @@ def _model():
     return bigrams, unigrams, uni, uni_floor, vocab
 
 
-def log_prob(a: str, b: str) -> float:
-    bigrams, unigrams, uni, uni_floor, vocab = _model()
-    num = bigrams.get((a, b), 0) + _K
-    den = unigrams.get(a, 0) + _K * vocab
-    p = _LAM * (num / den) + (1.0 - _LAM) * uni.get(b, uni_floor)
-    return math.log(p)
-
-
 @lru_cache(maxsize=1)
 def _matrix_model():
     """Vectorized model: a code-point -> vocab-id LUT plus a dense
-    (V+1, V+1) log-probability matrix (id 0 = out-of-vocabulary). Entries
-    are exactly ``log_prob`` evaluated for every pair, so the vectorized
-    and scalar paths agree to the last bit (same smoothing formula, same
-    float64 ops)."""
+    (V+1, V+1) log-probability matrix (id 0 = out-of-vocabulary),
+    log(lam * (count_ab + K)/(count_a + K*V) + (1-lam) * p_uni(b)) — the
+    SINGLE owner of the smoothing formula (a scalar twin was deleted:
+    two hand-synced copies invited silent divergence)."""
     import numpy as np
 
     bigrams, unigrams, uni, uni_floor, vocab = _model()

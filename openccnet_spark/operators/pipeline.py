@@ -8,14 +8,16 @@ perplexity, heuristic rules and PII scrubbing:
     transcripts
       |> salted repartition on hash(conv_id, turn_idx)       # skew defeat
       |> pre-gate: raw-length rules                          # JVM CASE chain
-      |> (convert + langid + gated ppl)                      # ONE fused Arrow UDF
-      |> char/word/symbol metrics                            # JVM built-ins
-      |> drop_reason / keep                                  # JVM CASE chain
-      |> text_scrubbed  = regex scrub                        # JVM built-ins
+      |> (convert + langid + gated ppl
+          + char/word/symbol metrics + regex scrub)          # ONE fused Arrow UDF
+      |> drop_reason / keep                                  # JVM CASE chain over the struct's metrics
 
-Only the genuinely dictionary/model-bound work crosses the Arrow boundary,
-and it crosses it ONCE (fused UDF = one Python worker per task); everything
-else stays in whole-stage codegen. The salted repartition spreads the turns
+All string-touching work (conversion, langid, ppl, metrics, scrub) rides
+the ONE fused Arrow UDF — CPython ``re`` measured ~50x faster than Spark
+``regexp_replace`` on this corpus (CLAUDE.md), so the "JVM regex" plan is
+the slow one here. The UDF crosses the Arrow boundary ONCE (one Python
+worker per task); the keep/drop decision is then pure int/double
+arithmetic over the returned struct in whole-stage codegen. The salted repartition spreads the turns
 of pathologically long conversations across partitions (rows are per-turn,
 so hashing (conv_id, turn_idx) is a perfect salt — no key grouping is
 needed downstream).

@@ -4,9 +4,11 @@ The gate (north_rule) drops turns by deterministic heuristics
 (Gopher/C4-style: length, repetition, symbol density), perplexity, and
 scrubs PII. This module defines the rule constants ONCE and provides:
 
-* ``with_quality_columns`` / ``keep_expr`` — Spark **built-in** column
-  expressions (JVM-side, whole-stage codegen; the UDF slow path is reserved
-  for conversion/langid/ppl only).
+* ``with_quality_columns`` — Spark **built-in** column expressions
+  (JVM-side, whole-stage codegen) for standalone/document use; the
+  PRODUCTION transcript pipeline computes the same metrics inside the one
+  fused Arrow UDF instead (CPython ``re`` is ~50x faster than Spark
+  regexp on this corpus — see operators/pipeline.py).
 * ``quality_reference`` / ``scrub_text`` — the pure-Python reference path
   (the "reference labels" the Spark job must match at F1>=0.99; also used
   to compute oracle literals for the driver's DuckDB comparison).

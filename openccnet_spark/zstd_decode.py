@@ -293,10 +293,13 @@ _LL_DEFAULT = (
      2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
     6,
 )
+# RFC 8878 §3.1.1.3.2.2.1 ML_defaultNorm: 1-counts run through code 45
+# (match lengths up to ~128) and only codes 46-52 are "less-than-one".
+# (A truncated table decodes the wrong match length for any predefined-
+# mode state mapped past code 25 — silent output corruption, caught by
+# fuzzing against the zstd CLI.)
 _ML_DEFAULT = (
-    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-     1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
-     -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1],
+    [1, 4, 3] + [2] * 6 + [1] * 37 + [-1] * 7,
     6,
 )
 _OF_DEFAULT = (

@@ -316,3 +316,42 @@ def test_json_escape_uppercasing_skips_literal_backslashes():
     assert back["slot"]["Dict"]["中"] == "值"
     # real escapes ARE uppercased in the serialized text
     assert b"\\u4E2D" in out
+
+
+def test_zstd_predefined_ml_long_match():
+    """Regression (code-review fuzzing, round 4): the predefined
+    Match-Length FSE distribution must carry 1-counts through code 45
+    (RFC 8878 ML_defaultNorm) — a truncated table silently decodes the
+    wrong match length for predefined-mode frames with long matches.
+    The embedded frame is `zstd -c` over b'abcd'*30 (predefined
+    sequences, one 116-byte match): the buggy table returned 6,279
+    bytes instead of 120."""
+    from openccnet_spark.zstd_decode import decompress
+
+    frame = bytes.fromhex("28b52ffd04585d000020616263640100f1d4110186105321")
+    assert decompress(frame) == b"abcd" * 30
+
+
+def test_zstd_fuzz_against_cli():
+    """Round-trip a spread of payload shapes through the system zstd
+    encoder (skipped when absent) and the pure-Python decoder."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from openccnet_spark.zstd_decode import decompress
+
+    if not shutil.which("zstd"):
+        pytest.skip("zstd CLI not available")
+    cases = [
+        b"", b"x", b"abcd" * 30, b"the quick brown fox " * 50,
+        bytes(range(256)) * 40, b"a" * 5000, ("汉字内容测试" * 200).encode(),
+        bytes([i % 7 for i in range(3333)]),
+    ]
+    for level in ("-1", "-9", "-19"):
+        for payload in cases:
+            comp = subprocess.run(
+                ["zstd", "-q", "-c", level], input=payload, capture_output=True
+            ).stdout
+            assert decompress(comp) == payload, (level, len(payload))
