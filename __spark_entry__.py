@@ -771,15 +771,39 @@ def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction (decode stubbed, plumbing real).
-    checksum is crc32 (not SQL-expressible) => excluded; fake dims are."""
+    """Binary-payload plumbing over NON-image payloads (UTF-8 text bytes):
+    the decoder must take the documented ``opaque`` fallback — NULL image
+    fields, byte length preserved. checksum is crc32 (not SQL-expressible)
+    => excluded."""
     from openccnet_spark.operators.multimodal import (
         extract_image_features,
         with_binary_payload,
     )
 
     feats = extract_image_features(with_binary_payload(_read(spark, sf_dir, "documents")))
-    return feats.select("doc_id", "n_bytes", "width", "height", "mode")
+    return feats.select("doc_id", "n_bytes", "format", "mode", "width", "height")
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (imagecodec: pure-Python PNG inflate+unfilter, BMP
+    BI_RGB): deterministic synthetic PNG-RGB / PNG-gray / BMP payloads are
+    materialized per doc_id in a distributed mapInPandas (pixel value =
+    (doc_id*7+3x+5y+11c) mod 256, PNG row filter = doc_id%5), then decoded
+    by the same `extract_image_features` operator a production binary
+    column takes. The oracle recomputes width/height/channels/mode and the
+    exact per-channel pixel sums in closed-form SQL — a wrong decode (bad
+    filter reversal, palette/BGR mixup, row-order flip) hash-fails."""
+    from openccnet_spark.operators.multimodal import (
+        extract_image_features,
+        with_synth_image_payload,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    feats = extract_image_features(with_synth_image_payload(docs))
+    return feats.select(
+        "doc_id", "format", "mode", "width", "height", "channels",
+        "sum_r", "sum_g", "sum_b",
+    )
 
 
 #: (case_id, op, input, expected) for the St/Ts char-only goldens (O10)
@@ -1053,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _armed(_q_vocab_topk),
         "quality_quantiles": _armed(_q_quality_quantiles),
         "multimodal_features": _armed(_q_multimodal_features),
+        "multimodal_decode": _armed(_q_multimodal_decode),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1240,10 +1265,44 @@ GROUP BY o.o_orderpriority
         "multimodal_features": """
 SELECT doc_id,
        octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
-       (octet_length(encode(coalesce(text, ''))) % 640)::INT AS width,
-       (octet_length(encode(coalesce(text, ''))) % 480)::INT AS height,
-       'stub' AS mode
+       'opaque' AS format,
+       NULL::VARCHAR AS mode,
+       NULL::INT AS width,
+       NULL::INT AS height
 FROM documents
+""",
+        # closed-form replay of multimodal.synth_image_payload + decode:
+        # dims/format/mode from doc_id, per-channel sums by folding the
+        # pixel formula over a bounded (x, y, c) grid. Gray images
+        # replicate channel 0 (channel_sums contract).
+        "multimodal_decode": """
+WITH imgs AS (
+  SELECT doc_id,
+         (16 + doc_id % 93)::INT AS width,
+         (12 + doc_id % 61)::INT AS height,
+         CASE WHEN doc_id % 3 = 2 THEN 'bmp' ELSE 'png' END AS format,
+         CASE WHEN doc_id % 3 = 1 THEN 'L' ELSE 'RGB' END AS mode,
+         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END::INT AS channels
+  FROM documents WHERE doc_id % 13 = 0
+),
+sums AS (
+  SELECT i.doc_id, c.c,
+         sum((i.doc_id * 7 + 3 * x.x + 5 * y.y + 11 * c.c) % 256)::BIGINT AS s
+  FROM imgs i
+  CROSS JOIN generate_series(0, 108) AS x(x)
+  CROSS JOIN generate_series(0, 72) AS y(y)
+  CROSS JOIN generate_series(0, 2) AS c(c)
+  WHERE x.x < i.width AND y.y < i.height AND c.c < i.channels
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.format, i.mode, i.width, i.height, i.channels,
+       r.s AS sum_r,
+       coalesce(g.s, r.s) AS sum_g,
+       coalesce(b.s, r.s) AS sum_b
+FROM imgs i
+JOIN sums r ON r.doc_id = i.doc_id AND r.c = 0
+LEFT JOIN sums g ON g.doc_id = i.doc_id AND g.c = 1
+LEFT JOIN sums b ON b.doc_id = i.doc_id AND b.c = 2
 """,
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],

@@ -132,10 +132,37 @@ def test_multimodal_plumbing(spark, docs):
         raw = texts[r.doc_id].encode("utf-8")
         assert r.n_bytes == len(raw)
         assert r.checksum == zlib.crc32(raw)
-        assert r.width == len(raw) % 640 and r.height == len(raw) % 480
-        assert r.mode == "stub"
+        # text bytes are not an image -> documented opaque fallback
+        assert r.format == "opaque"
+        assert r.width is None and r.height is None and r.mode is None
     frames = multimodal.frame_sample_plan(payloads)
     assert frames.count() > docs.count()  # exploded frame indexes
+
+
+def test_multimodal_real_decode(spark, docs):
+    """Distributed synth -> real PNG/BMP decode; features must equal the
+    closed-form ground truth of the synthesis formula."""
+    subset = docs.filter(F.col("doc_id") % 13 == 0)
+    feats = multimodal.extract_image_features(
+        multimodal.with_synth_image_payload(subset)
+    ).collect()
+    assert len(feats) == subset.count() > 0
+    for r in feats:
+        d = r.doc_id
+        w, h = 16 + d % 93, 12 + d % 61
+        kind = d % 3
+        channels = 1 if kind == 1 else 3
+        assert (r.width, r.height, r.channels) == (w, h, channels), r
+        assert r.format == ("bmp" if kind == 2 else "png")
+        assert r.mode == ("L" if kind == 1 else "RGB")
+        exp = [
+            sum((d * 7 + 3 * x + 5 * y + 11 * c) % 256
+                for x in range(w) for y in range(h))
+            for c in range(channels)
+        ]
+        if channels == 1:
+            exp = [exp[0]] * 3
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp), r
 
 
 def test_ivf_finds_planted_neighbors(spark, embs):
