@@ -13,6 +13,7 @@ identical floors in both engines). Pass-through parquet doubles are safe.
 
 from __future__ import annotations
 
+import atexit
 import json
 import math
 import os
@@ -364,8 +365,10 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
     # reliable=True: real checkpoint() (not executor-local blocks), so a
     # lost executor mid-iteration replays from durable storage — the
-    # setting a multi-hour 100 TB run needs
-    out = connected_components(pairs, reliable=True)
+    # setting a multi-hour 100 TB run needs. checkpoint_interval=4 keeps
+    # recompute-on-failure bounded at 4 rounds while writing ~1/4 the
+    # checkpoint I/O (A/B in BENCH.md).
+    out = connected_components(pairs, reliable=True, checkpoint_interval=4)
     for h in handles:  # the iteration has materialized everything already
         h.unpersist()
     return out
@@ -382,7 +385,7 @@ def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     handles: list = []
     pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
-    out = connected_components_star(pairs, reliable=True)
+    out = connected_components_star(pairs, reliable=True, checkpoint_interval=4)
     for h in handles:
         h.unpersist()
     return out
@@ -398,7 +401,7 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _mutant_docs(spark, sf_dir)
     handles: list = []
     pairs = minhash_near_duplicates(docs, persist=True, handles=handles)
-    out = canonical_documents(pairs, docs, reliable=True)
+    out = canonical_documents(pairs, docs, reliable=True, checkpoint_interval=4)
     for h in handles:
         h.unpersist()
     return out
@@ -939,6 +942,48 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_n_conv(sf_dir: str) -> int:
+    """Conversation count for the streaming replay fixture — a slice of the
+    transcripts scale so the stream stays a few-second job at bench SF."""
+    return max(n_conv_for_sf(sf_dir) // 5, 60)
+
+
+def _q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming replay dedup END TO END, driver-visible: the deterministic
+    transcripts table is written TWICE (an at-least-once upstream's
+    replayed batch), read back as a file stream in multiple micro-batches
+    (maxFilesPerTrigger=8 over 10 files), deduplicated on
+    (conv_id, turn_idx) by `streaming_dedup_turns`'s watermark state, and
+    written to a parquet sink with an availableNow trigger. The returned
+    frame is the FINAL SINK TABLE; the oracle regenerates the transcripts
+    in SQL — exactly-once output means sink == one copy of the source.
+    The watermark is sized past the fixture's event-time span so replayed
+    whole-history batches are deduplicated, not dropped as late."""
+    import shutil
+
+    from openccnet_spark.streaming import replay_dedup_run
+
+    n_conv = _replay_n_conv(sf_dir)
+    base = spark_transcripts(spark, n_conv)
+    root = tempfile.mkdtemp(prefix="openccnet-replay-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    base.repartition(6).write.parquet(os.path.join(src, "a"))
+    base.repartition(4).write.parquet(os.path.join(src, "b"))
+    watermark_days = n_conv * 211 // 86_400 + 2  # > max event-time span
+    final = replay_dedup_run(
+        spark,
+        src + "/*",
+        os.path.join(root, "sink"),
+        os.path.join(root, "ckpt"),
+        watermark=f"{watermark_days} days",
+    )
+    return final.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + filtered agg + deterministic top-10."""
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -1087,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_dict_convert": _armed(_q_custom_dict),
         "events_window": _armed(_q_events_window),
         "events_sessionize": _armed(_q_events_sessionize),
+        "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
         "topk_customers": _armed(_q_topk_customers),
         "shipping_priority": _armed(_q_shipping_priority),
@@ -1348,6 +1394,7 @@ WITH g AS (
 SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """,
+        "streaming_dedup_replay": _streaming_replay_oracle("sf0.01"),
         "zho_check_transcripts": _zho_transcripts_oracle("sf0.01"),
         "shipping_priority": """
 SELECT l_orderkey,
@@ -1514,6 +1561,18 @@ def _values_oracle(rows: list, select: str, names: str) -> str:
     return f"SELECT {select} FROM (VALUES {formatted}) AS v({names})"
 
 
+def _streaming_replay_oracle(sf_dir_sf: str) -> str:
+    """Exactly-once contract: the final sink table of the replayed stream
+    equals ONE copy of the deterministic transcripts source."""
+    n_conv = _replay_n_conv(sf_dir_sf)
+    return f"""
+WITH t AS ({transcripts_sql(n_conv)})
+SELECT conv_id, turn_idx, role, text, tool,
+       floor(epoch(ts))::BIGINT AS ts_epoch
+FROM t
+"""
+
+
 def _zho_transcripts_oracle(sf_dir_sf: str) -> str:
     cc = Converter()
     zhos = [str(cc.zho_check(pool_text(i))) for i in range(len(POOL))]
@@ -1595,12 +1654,23 @@ FROM lab l JOIN sizes s ON l.component = s.component
 """
 
 
-def _dedup_simhash_oracle() -> str:
-    """Recompute the 60-bit md5-based SimHash per document in DuckDB and
-    emit ALL pairs with hamming <= 3 brute-force. The Spark side's 4x15-bit
-    pigeonhole banding is total for hamming <= 3 (any such pair leaves at
-    least one band untouched), so banded candidates == brute-force pairs."""
-    from openccnet_spark.operators.dedup import SIMHASH_BITS
+def _dedup_simhash_oracle(banded: bool = True) -> str:
+    """Recompute the 60-bit md5-based SimHash per document in DuckDB.
+
+    ``banded=True`` (the driver oracle) replays the Spark side's 4x15-bit
+    pigeonhole banding INCLUDING the SIMHASH_MAX_BUCKET degenerate-bucket
+    guard, so the oracle stays hash-identical at ANY oracle scale — even
+    one where a band bucket exceeds the cap and whole buckets are dropped.
+    ``banded=False`` emits ALL pairs with hamming <= 3 brute-force; the
+    two are equal whenever no bucket is oversized (pigeonhole totality:
+    a hamming<=3 pair leaves at least one of the 4 bands untouched) —
+    pinned at test scale by
+    tests/test_training_ops.py::test_simhash_banded_oracle_equals_brute."""
+    from openccnet_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_MAX_BUCKET,
+    )
 
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> "
@@ -1608,7 +1678,9 @@ def _dedup_simhash_oracle() -> str:
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
-    return f"""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    band_mask = (1 << band_bits) - 1
+    base = f"""
 WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -1622,10 +1694,28 @@ WITH d AS (
   FROM d
 ), sigs AS (
   SELECT doc_id, ({bit_terms})::BIGINT AS sig FROM hashed
-)
+)"""
+    if not banded:
+        return base + """
 SELECT a.doc_id AS a, b.doc_id AS b,
        bit_count(xor(a.sig, b.sig))::INT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+    return base + f""",
+bands AS (
+  SELECT s.doc_id, s.sig, i.i AS band_i,
+         (s.sig >> (i.i * {band_bits})) & {band_mask} AS band_v
+  FROM sigs s CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) AS i(i)
+),
+surv AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_i, band_v) <= {SIMHASH_MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM surv a JOIN surv b ON a.band_i = b.band_i AND a.band_v = b.band_v
+                       AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 

@@ -24,9 +24,32 @@ import argparse
 import sys
 
 
+def _hadoop_path_exists(spark, p: str) -> bool:
+    """Existence on the filesystem the PATH itself resolves to (default FS
+    for relative/bare names) — what the executors will actually read, not
+    the driver's local disk. Falls back to os.path on any JVM-gateway
+    hiccup so a broken probe degrades to the old (driver-local) behavior
+    instead of failing the job."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+    except Exception:
+        return os.path.exists(p)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path or Iceberg table name")
+    ap.add_argument(
+        "--input-kind",
+        choices=("auto", "table", "path"),
+        default="auto",
+        help="force catalog-table vs filesystem-path reading; auto keeps "
+        "the dotted-name heuristic (existence probed on the CLUSTER "
+        "filesystem, not the driver's local disk)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--config", default="t2s")
     ap.add_argument("--punct", action="store_true")
@@ -55,14 +78,21 @@ def main(argv=None) -> int:
     # table-vs-path routing: a dotted name is a catalog table ONLY if it
     # is not a file that exists and has no data-file extension — otherwise
     # `--input transcripts.parquet` (a relative path, the docstring's own
-    # first usage form) would misroute to spark.read.table
+    # first usage form) would misroute to spark.read.table. Existence is
+    # probed through the session's Hadoop FileSystem so a bare relative
+    # name that lives on the cluster's default FS (invisible to the
+    # driver's local disk) routes correctly; --input-kind overrides the
+    # heuristic outright.
     _inp = args.input
-    _is_table = (
-        "." in _inp
-        and "/" not in _inp
-        and not _inp.lower().endswith((".parquet", ".orc", ".json", ".csv"))
-        and not os.path.exists(_inp)
-    )
+    if args.input_kind == "auto":
+        _is_table = (
+            "." in _inp
+            and "/" not in _inp
+            and not _inp.lower().endswith((".parquet", ".orc", ".json", ".csv"))
+            and not _hadoop_path_exists(spark, _inp)
+        )
+    else:
+        _is_table = args.input_kind == "table"
     src = spark.read.table(_inp) if _is_table else spark.read.parquet(_inp)
     salt = args.salt_partitions or spark.sparkContext.defaultParallelism * 3
     result = checkpointed_quality_filter(

@@ -32,7 +32,11 @@ late). ``reliable=True`` uses real ``checkpoint()`` into
 cluster), which survives executor loss — the correct setting for real
 multi-hour 100 TB runs. If no checkpoint dir is configured, a local
 temporary one is set (fine on local[*]; a cluster job should point it at
-durable storage).
+durable storage). ``checkpoint_interval=k`` durably checkpoints every k-th
+round (persist-only in between): recompute-on-failure stays bounded by k
+rounds while checkpoint write I/O falls to ~1/k, and the previous
+checkpoint's files are deleted as each new one lands, so on-disk state is
+one frame regardless of round count.
 
 Fixpoint detection (both variants) compares an order-insensitive 64-bit
 set digest between rounds — count + XOR of xxhash64 over the frame's
@@ -73,18 +77,90 @@ def _checkpointer(df: DataFrame, reliable: bool):
     return df.checkpoint()
 
 
+def _checkpoint_uri(cdf: DataFrame) -> str | None:
+    """Storage URI of a reliably-checkpointed frame's files (via the
+    LogicalRDD the checkpoint left in the plan); None when unavailable —
+    cleanup then simply skips, it never risks correctness."""
+    try:
+        opt = cdf._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:
+        return None
+
+
+def _delete_checkpoint(df: DataFrame, uri: str) -> None:
+    """Best-effort delete of one rdd-NNN checkpoint directory through the
+    Hadoop FileSystem the URI resolves to (works on HDFS/object stores,
+    not just the driver's local disk)."""
+    try:
+        spark = df.sparkSession
+        p = spark._jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        pass
+
+
+class _RoundCheckpointer:
+    """Per-round lineage management for the iterative operators.
+
+    ``reliable=False``: localCheckpoint every round (fast executor-local
+    blocks; ContextCleaner reclaims them as Python drops references).
+
+    ``reliable=True``: a real durable ``checkpoint()`` every ``interval``
+    rounds; rounds in between only ``persist()``, so lineage stays rooted
+    at the last durable checkpoint — executor-loss recompute cost is
+    bounded by ``interval`` rounds while checkpoint I/O drops to
+    ~1/interval of the every-round policy. Disk state is bounded too:
+    the moment a new durable checkpoint materializes, the previous
+    round's checkpoint files are deleted and the in-between persisted
+    frames unpersisted (the new checkpoint cut their lineage — nothing
+    can re-read them). The final frame's own files are never deleted
+    here; an auto-created checkpoint dir is removed at interpreter exit
+    (``_checkpointer``).
+    """
+
+    def __init__(self, reliable: bool, interval: int = 1):
+        self.reliable = reliable
+        self.interval = max(1, int(interval))
+        self._round = 0
+        self._live_uri: str | None = None
+        self._pending: list[DataFrame] = []
+
+    def step(self, df: DataFrame, force: bool = False) -> DataFrame:
+        self._round += 1
+        if not self.reliable:
+            return df.localCheckpoint()
+        if force or self._round % self.interval == 0:
+            out = _checkpointer(df, True)
+            for p in self._pending:
+                p.unpersist()
+            self._pending = []
+            if self._live_uri is not None:
+                _delete_checkpoint(out, self._live_uri)
+            self._live_uri = _checkpoint_uri(out)
+            return out
+        out = df.persist()
+        self._pending.append(out)
+        return out
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 30,
     reliable: bool = False,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; ``component`` is the
     smallest node id reachable from it. Deterministic. Driver-side control
     flow only (one tiny aggregate per round); all data stays distributed.
     O(diameter) rounds — raises past ``max_iterations``; use
     ``connected_components_star`` for unbounded-diameter graphs.
+    ``checkpoint_interval`` (reliable mode): durable-checkpoint every k
+    rounds instead of every round — bounded lineage/recompute at ~1/k the
+    checkpoint I/O (see ``_RoundCheckpointer``).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -101,11 +177,12 @@ def connected_components(
         .repartition("dst")
         .persist()
     )
+    ck = _RoundCheckpointer(reliable, checkpoint_interval)
     try:
         labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node")
         )
-        labels = _checkpointer(labels, reliable)
+        labels = ck.step(labels)
 
         def digest(frame):
             # ANSI-safe label-set digest: summing raw labels overflows on
@@ -128,14 +205,13 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            labels = _checkpointer(
+            labels = ck.step(
                 labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
                     "node",
                     F.least(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
-                ),
-                reliable,
+                )
             )
             cur = digest(labels)
             if cur == prev:
@@ -158,6 +234,7 @@ def connected_components_star(
     b_col: str = "b",
     max_iterations: int = 50,
     reliable: bool = False,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star — the
     O(log n)-round variant for graphs whose diameter is unbounded (long
@@ -188,8 +265,9 @@ def connected_components_star(
         .distinct()
         .persist()
     )
+    ck = _RoundCheckpointer(reliable, checkpoint_interval)
     try:
-        e = _checkpointer(e, reliable)
+        e = ck.step(e)
         digest = e.agg(
             F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
         ).first()
@@ -218,7 +296,7 @@ def connected_components_star(
                 .select(F.col("x").alias("u"), F.col("mn").alias("v"))
                 .distinct()
             )
-            e = _checkpointer(small, reliable)
+            e = ck.step(small)
             digest = e.agg(
                 F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
             ).first()
@@ -237,8 +315,10 @@ def connected_components_star(
         out = nodes.join(comp, nodes.node == comp.u, "left").select(
             "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
         )
-        # materialize before releasing `nodes`
-        out = _checkpointer(out, reliable)
+        # materialize before releasing `nodes`; force=True so the final
+        # frame is durably checkpointed even mid-interval (its files are
+        # the result — never deleted here)
+        out = ck.step(out, force=True) if reliable else _checkpointer(out, False)
     finally:
         nodes.unpersist()
     return out
@@ -251,6 +331,7 @@ def canonical_documents(
     max_iterations: int = 30,
     reliable: bool = False,
     algorithm: str = "propagation",
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Per-document dedup decision from a near-dup pair list:
     (doc_id, component, is_canonical, n_members). Documents that appear in
@@ -262,11 +343,13 @@ def canonical_documents(
     """
     if algorithm == "star":
         comp = connected_components_star(
-            pairs, max_iterations=max_iterations, reliable=reliable
+            pairs, max_iterations=max_iterations, reliable=reliable,
+            checkpoint_interval=checkpoint_interval,
         )
     elif algorithm == "propagation":
         comp = connected_components(
-            pairs, max_iterations=max_iterations, reliable=reliable
+            pairs, max_iterations=max_iterations, reliable=reliable,
+            checkpoint_interval=checkpoint_interval,
         )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r} (propagation|star)")

@@ -362,7 +362,10 @@ def simhash_near_duplicates(
 
     Sound for ``max_hamming <= SIMHASH_BANDS - 1``: a pair within that
     Hamming distance differs in fewer bands than exist, so at least one
-    band key collides and the pair is generated as a candidate. Only
+    band key collides and the pair is generated as a candidate — EXCEPT
+    pairs whose every shared band bucket is oversized and dropped by the
+    ``max_bucket`` guard below (the driver oracle replicates that drop,
+    so the contract is exact, not merely approximate). Only
     (band_key, id, simhash) shuffles — never document text.
 
     ``persist=True`` materializes the signatures before the self-join so

@@ -61,7 +61,23 @@ def completed_buckets(spark: SparkSession, metrics_path: str) -> set:
             .collect()
         )
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        # Prefer the structured error class (stable API contract) over
+        # message text, which Spark rewords across versions. Fall back to
+        # the known message shapes only when no class is exposed.
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond is not None:
+            if cond == "PATH_NOT_FOUND":
+                return set()
+        elif "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return set()
         raise
     return {r.partition_id for r in rows}

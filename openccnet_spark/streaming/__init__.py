@@ -66,6 +66,47 @@ def streaming_dedup_turns(stream: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+def replay_dedup_run(
+    spark: SparkSession,
+    src_glob: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 days",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Run ``streaming_dedup_turns`` over an at-least-once replay source to
+    a parquet sink table with an ``availableNow`` trigger, then return the
+    FINAL sink table — the batch-queryable artifact a real ingest job
+    leaves behind. ``maxFilesPerTrigger`` keeps the run multi-micro-batch,
+    so the dedup state store genuinely carries seen-keys ACROSS batches
+    (the property that makes replay dedup work on an unbounded stream);
+    the checkpoint dir is the stream's exactly-once ledger — re-running
+    with the same checkpoint resumes instead of double-writing.
+
+    The watermark must exceed the source's event-time span when the
+    replayed copies are whole-history batches (as in the driver fixture);
+    otherwise a later batch's old-timestamped rows are dropped as late
+    data rather than deduplicated — correct streaming semantics, but not
+    the replay contract this runner demonstrates.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_glob)
+    )
+    deduped = streaming_dedup_turns(stream, watermark=watermark)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
 _SESSION_OUT = StructType(
     [
         StructField("conv_id", StringType()),

@@ -165,6 +165,27 @@ def test_multimodal_real_decode(spark, docs):
         assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp), r
 
 
+def test_simhash_banded_oracle_equals_brute():
+    """Pigeonhole totality at test scale, in DuckDB alone: the driver's
+    banded simhash oracle (which replicates the SIMHASH_MAX_BUCKET
+    bucket-drop so it stays correct at any oracle scale) must equal the
+    brute-force hamming<=3 pair set at sf0.01 — i.e. the guard is inert
+    there and banding loses no pairs."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    banded = con.sql(entry_mod._dedup_simhash_oracle(banded=True)).fetchall()
+    brute = con.sql(entry_mod._dedup_simhash_oracle(banded=False)).fetchall()
+    assert len(brute) > 0
+    assert sorted(banded) == sorted(brute)
+
+
 def test_ivf_finds_planted_neighbors(spark, embs):
     """IVF's contract mirrors LSH-ANN: an exact copy lands in the same
     k-means cell (identical vector -> identical cluster), so top-1 must be
@@ -331,6 +352,64 @@ SELECT node, min(label) FROM walk GROUP BY node
         ).fetchall()
     )
     assert got == oracle and len(got) == 1000
+
+
+def test_checkpoint_interval_same_result_bounded_disk(spark, tmp_path):
+    """checkpoint_interval=k (reliable mode) must (a) produce identical
+    components to every-round checkpointing for BOTH algorithms, and
+    (b) leave at most ONE live iteration checkpoint on disk at the end —
+    prior rounds' rdd-* dirs are deleted as new checkpoints land."""
+    import os
+
+    from openccnet_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # multi-round graph: two chains + a clique (propagation needs ~4 rounds)
+    edges = [(i, i + 1) for i in range(8)] + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    sc = spark.sparkContext
+    old_dir = sc.getCheckpointDir()
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        for fn, n_final in ((connected_components, 1), (connected_components_star, 2)):
+            base = {
+                r.node: r.component
+                for r in fn(pairs, reliable=True, checkpoint_interval=1).collect()
+            }
+            for d in os.listdir(ckpt):
+                import shutil
+
+                shutil.rmtree(os.path.join(ckpt, d))
+            got = {
+                r.node: r.component
+                for r in fn(pairs, reliable=True, checkpoint_interval=3).collect()
+            }
+            assert got == base, fn.__name__
+            rdd_dirs = [
+                os.path.join(root, d)
+                for root, dirs, _ in os.walk(ckpt)
+                for d in dirs
+                if d.startswith("rdd-")
+            ]
+            # propagation keeps only the last round's checkpoint; star also
+            # keeps the forced final read-off frame
+            assert len(rdd_dirs) <= n_final, (fn.__name__, rdd_dirs)
+    finally:
+        if old_dir is not None:
+            sc.setCheckpointDir(old_dir)
+        else:
+            # can't unset; point at a dir that outlives tmp_path like
+            # _checkpointer's auto-dir would
+            import atexit
+            import shutil
+            import tempfile
+
+            fresh = tempfile.mkdtemp(prefix="openccnet-ckpt-")
+            atexit.register(shutil.rmtree, fresh, ignore_errors=True)
+            sc.setCheckpointDir(fresh)
 
 
 def test_canonical_documents_star_algorithm(spark):
