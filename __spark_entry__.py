@@ -1772,43 +1772,40 @@ SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 
 
 
 def _similarity_ivf_oracle(src: str = "embeddings", planted: bool = False) -> str:
-    """Rebuild the IVF index in DuckDB: the centroids are recomputed from
-    the same sorted parquet sample with the same numpy code (bit-identical
-    float64), each per-centroid dot is the same left-to-right fold, and
-    cluster/probe selection uses the same first-max / fewer-than-nprobe
-    rules — so candidates and the final top-k value-match."""
+    """Rebuild the IVF index in DuckDB: the centroids come from
+    `ivf_centroids_replay` — the bit-exact numpy replay of the DISTRIBUTED
+    trainer (quantized order-independent int sums + fold-ordered per-row
+    arithmetic); each per-centroid dot in the SQL is the same
+    left-to-right fold, and cluster/probe selection uses the same
+    first-max / fewer-than-nprobe rules — so candidates and the final
+    top-k value-match."""
     import duckdb
     import numpy as np
 
     from openccnet_spark.operators.similarity import (
         IVF_CLUSTERS,
         IVF_NPROBE,
-        IVF_SAMPLE,
-        ivf_centroids,
+        ivf_centroids_replay,
         sql_cosine,
     )
 
-    # the driver registers its views over sf0.01; the centroid sample MUST
+    # the driver registers its views over sf0.01; the training corpus MUST
     # come from the same tables the views read or the oracle is silently
     # wrong rather than omitted. SPARK_GRAFT_ORACLE_SF_DIR re-points both
     # when the comparison runs against a different scale factor.
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = f"{sf_dir}/embeddings.parquet"
+    base = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in base]
+    vecs = [list(r[1]) for r in base]
     if planted:
-        # replay ivf_topk's bounded sample over the PLANTED corpus
-        # (originals + zeroed-last-element copies at vec_id+100000): the
-        # id sort puts every original (< 100000) before every copy, so
-        # concatenation in that order IS the sorted sample
-        base = duckdb.sql(
-            f"SELECT embedding FROM '{path}' ORDER BY vec_id"
-        ).fetchall()
-        vecs = [list(r[0]) for r in base] + [list(r[0])[:63] + [0.0] for r in base]
-        rows = [(v,) for v in vecs[:IVF_SAMPLE]]
-    else:
-        rows = duckdb.sql(
-            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT {IVF_SAMPLE}"
-        ).fetchall()
-    centroids = ivf_centroids(np.array([r[0] for r in rows], dtype=np.float64))
+        # replay training over the PLANTED corpus (originals +
+        # zeroed-last-element copies at vec_id+100000)
+        ids = ids + [i + 100000 for i in ids]
+        vecs = vecs + [v[:63] + [0.0] for v in vecs]
+    centroids = ivf_centroids_replay(ids, np.array(vecs, dtype=np.float64))
 
     def dot(i: int) -> str:
         terms = " + ".join(

@@ -191,6 +191,27 @@ def _time_query(build) -> float:
     return dt
 
 
+def _timed(build, extra_rep_under: float = 20.0) -> tuple[float, float]:
+    """(best_time, steal%% during the best rep). Min-over-reps: tenant
+    noise only ever SLOWS a run, so the minimum is the consistent
+    estimator (same reasoning as the scaling pair). A second rep runs
+    adaptively when the first finished under ``extra_rep_under`` seconds —
+    cheap queries are the ones whose single-rep readings are dominated by
+    fixed overhead + noise (the r01->r02 and r04 x6 false regressions),
+    while the heavy iterative/LSH queries self-average across many
+    internal jobs and carry their steal stamp instead."""
+    s0 = _read_cpu_stat()
+    best = _time_query(build)
+    best_steal = _steal_pct(s0, _read_cpu_stat())
+    if best < extra_rep_under:
+        s0 = _read_cpu_stat()
+        dt = _time_query(build)
+        st = _steal_pct(s0, _read_cpu_stat())
+        if dt < best:
+            best, best_steal = dt, st
+    return best, best_steal
+
+
 def _bench_pipeline(spark, transcripts_path: str, partitions: int | None) -> float:
     """partitions=None -> no salted repartition: the input parquet is
     uniformly partitioned (as an Iceberg write distribution would be), so
@@ -262,7 +283,7 @@ def _scale_family_queries():
     similarity operators, at mult x their 1x bench inputs."""
     from pyspark.sql import functions as F
 
-    def minhash(spark, sf_dir, mult):
+    def minhash(spark, sf_dir, mult, stats=None):
         from openccnet_spark.operators.dedup import minhash_near_duplicates
 
         handles: list = []
@@ -272,7 +293,7 @@ def _scale_family_queries():
         out._persist_handles = handles
         return out
 
-    def simhash(spark, sf_dir, mult):
+    def simhash(spark, sf_dir, mult, stats=None):
         from openccnet_spark.operators.dedup import simhash_near_duplicates
 
         handles: list = []
@@ -282,7 +303,7 @@ def _scale_family_queries():
         out._persist_handles = handles
         return out
 
-    def emb_lsh(spark, sf_dir, mult):
+    def emb_lsh(spark, sf_dir, mult, stats=None):
         from openccnet_spark.operators.similarity import lsh_near_duplicates
 
         emb = _scaled_embeddings(spark, sf_dir, mult)
@@ -292,18 +313,46 @@ def _scale_family_queries():
         out._persist_handles = handles
         return out
 
-    def ann(spark, sf_dir, mult):
+    def ann(spark, sf_dir, mult, stats=None):
         from openccnet_spark.operators.similarity import lsh_ann_topk
 
         return lsh_ann_topk(
             _scaled_embeddings(spark, sf_dir, mult), query_ids=[0, 1, 2, 3, 4], k=5
         )
 
+    def _components_fn(algorithm):
+        # the iterative graph operators, same reliable-checkpoint path +
+        # interval the driver queries run; round count is data-dependent,
+        # so it lands in `stats` and the bench JSON reports it per mult
+        def run(spark, sf_dir, mult, stats=None):
+            from openccnet_spark.operators.components import (
+                connected_components,
+                connected_components_star,
+            )
+            from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+            handles: list = []
+            pairs = minhash_near_duplicates(
+                _scaled_mutant_docs(spark, sf_dir, mult), persist=True, handles=handles
+            )
+            fn = (
+                connected_components_star
+                if algorithm == "star"
+                else connected_components
+            )
+            out = fn(pairs, reliable=True, checkpoint_interval=4, stats=stats)
+            out._persist_handles = handles
+            return out
+
+        return run
+
     return [
         ("dedup_minhash", minhash),
         ("dedup_simhash", simhash),
         ("dedup_embedding_lsh", emb_lsh),
         ("similarity_ann", ann),
+        ("dedup_components", _components_fn("propagation")),
+        ("dedup_components_star", _components_fn("star")),
     ]
 
 
@@ -513,10 +562,13 @@ def main() -> int:
         scale_high = _bench_pipeline(spark, scale_path, None)
         queries["pipeline_scale_test"] = round(scale_high, 3)
 
-        # secondary operator benches (driver-contract queries on sf tables),
-        # best-of-2 like the headline: single runs of sub-1.5 s queries are
-        # dominated by fixed overhead and tenant noise (the r01->r02
-        # "regressions" were exactly this)
+        # secondary operator benches (driver-contract queries on sf tables):
+        # min-over-reps via _timed (single runs of sub-1.5 s queries are
+        # dominated by fixed overhead and tenant noise — the r01->r02
+        # "regressions" were exactly this), each stamped with the steal%%
+        # of the winning rep so a contaminated window is VISIBLE in the
+        # artifact instead of costing a round to adjudicate (r04 minhash_x6)
+        query_steal: dict[str, float] = {}
         q = entry_mod.queries()
         for name in (
             "quality_documents", "metrics_rollup", "filter_project",
@@ -526,32 +578,37 @@ def main() -> int:
             "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
             "similarity_ivf", "similarity_recall", "textstats",
             "vocab_topk", "quality_quantiles", "skew_join_priority",
-            "pdf_reflow_convert", "office_convert",
+            "pdf_reflow_convert", "office_convert", "multimodal_decode",
+            "streaming_dedup_replay",
         ):
-            queries[name] = round(
-                min(
-                    _time_query(lambda: q[name](spark, SF_DIR)),
-                    _time_query(lambda: q[name](spark, SF_DIR)),
-                ),
-                3,
-            )
+            dt, st = _timed(lambda: q[name](spark, SF_DIR))
+            queries[name] = round(dt, 3)
+            query_steal[name] = round(st, 2)
 
-        # ---- dedup/similarity family at SCALE_MULT x rows: proves the
-        # bucket joins (not the guards) carry the load. Per-copy word/
-        # vector salting keeps copies from colliding with EACH OTHER, so
-        # true pair counts — and ideal work — grow linearly with the
-        # multiplier; per-row growth near 1.0 means the plan scales.
+        # ---- dedup/similarity/components family at SCALE_MULT x rows:
+        # proves the bucket joins and iteration loops (not the guards)
+        # carry the load. Per-copy word/vector salting keeps copies from
+        # colliding with EACH OTHER, so true pair counts — and ideal work —
+        # grow linearly with the multiplier; per-row growth near 1.0 means
+        # the plan scales. Component round counts are data-dependent, so
+        # they are reported next to the timings.
         scale_family: dict[str, float] = {}
+        component_rounds: dict[str, int] = {}
         for name, fn in _scale_family_queries():
             # base measured on the SAME salted shape at mult=1 so the
             # per-row ratio compares like against like
-            t1 = min(
-                _time_query(lambda: fn(spark, SF_DIR, 1)),
-                _time_query(lambda: fn(spark, SF_DIR, 1)),
-            )
-            t_m = _time_query(lambda: fn(spark, SF_DIR, FAMILY_MULT))
+            stats1: dict = {}
+            t1, st1 = _timed(lambda: fn(spark, SF_DIR, 1, stats=stats1))
+            stats_m: dict = {}
+            t_m, st_m = _timed(lambda: fn(spark, SF_DIR, FAMILY_MULT, stats=stats_m))
             queries[f"{name}_x1"] = round(t1, 3)
             queries[f"{name}_x{FAMILY_MULT}"] = round(t_m, 3)
+            query_steal[f"{name}_x1"] = round(st1, 2)
+            query_steal[f"{name}_x{FAMILY_MULT}"] = round(st_m, 2)
+            if "rounds" in stats1:
+                component_rounds[f"{name}_x1"] = stats1["rounds"]
+            if "rounds" in stats_m:
+                component_rounds[f"{name}_x{FAMILY_MULT}"] = stats_m["rounds"]
             # perrow ~1.0 = linear growth; > 1 = superlinear (a quadratic
             # join or a guard carrying the load would show here)
             scale_family[name] = round(t_m / (FAMILY_MULT * t1), 2)
@@ -609,6 +666,17 @@ def main() -> int:
                 # dedup/similarity operators (1.0 = perfectly linear)
                 "dedup_scale_mult": FAMILY_MULT,
                 "scale_family_perrow": scale_family,
+                # propagation/star iteration counts per family input (the
+                # per-row ratios above are only comparable when the round
+                # counts are too — O(diameter) vs O(log n) is data shape)
+                "component_rounds": component_rounds,
+                # hypervisor steal%% stamped on the winning rep of every
+                # per-query timing; queries whose stamp exceeds 5%% are
+                # listed as noisy — their values measure the neighbors
+                "query_steal_pct": query_steal,
+                "noisy_queries": sorted(
+                    k for k, v in query_steal.items() if v > 5.0
+                ),
                 "executors_low": n_exec_low,
                 "executors_high": n_exec_high,
                 "cores_per_executor": cores_per_exec,

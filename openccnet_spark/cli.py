@@ -188,6 +188,7 @@ def _cmd_pdf(args: argparse.Namespace) -> int:
         compact=args.compact,
         converter=cc,
         password=args.password or "",
+        column_layout=args.columns,
     )
     output = args.output or str(Path(args.input).with_suffix(".txt"))
     Path(output).write_text(text, encoding="utf-8")
@@ -243,6 +244,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output", "-o")
     d.add_argument("--header", "-H", action="store_true", help="[Page x/y] headers")
     d.add_argument("--reflow", "-r", action="store_true", help="reflow CJK paragraphs")
+    d.add_argument(
+        "--columns",
+        action="store_true",
+        help="multi-column pages: reorder into column reading order "
+        "(default keeps content-stream order, matching the reference's "
+        "ContentOrderTextExtractor)",
+    )
     d.add_argument("--compact", "-C", action="store_true", help="compact reflow")
     d.add_argument("--extract", "-e", action="store_true", help="extract only, no conversion")
     d.add_argument("--password", "-P", default="",

@@ -152,6 +152,7 @@ def connected_components(
     max_iterations: int = 30,
     reliable: bool = False,
     checkpoint_interval: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; ``component`` is the
     smallest node id reachable from it. Deterministic. Driver-side control
@@ -160,7 +161,9 @@ def connected_components(
     ``connected_components_star`` for unbounded-diameter graphs.
     ``checkpoint_interval`` (reliable mode): durable-checkpoint every k
     rounds instead of every round — bounded lineage/recompute at ~1/k the
-    checkpoint I/O (see ``_RoundCheckpointer``).
+    checkpoint I/O (see ``_RoundCheckpointer``). ``stats`` (optional dict)
+    receives ``{"rounds": n}`` — iteration count is data-dependent, so the
+    bench reports it alongside the timing.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -199,7 +202,7 @@ def connected_components(
             return (row[0], row[1])
 
         prev = digest(labels)
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy("src")
@@ -214,6 +217,8 @@ def connected_components(
                 )
             )
             cur = digest(labels)
+            if stats is not None:
+                stats["rounds"] = _round + 1
             if cur == prev:
                 break
             prev = cur
@@ -235,6 +240,7 @@ def connected_components_star(
     max_iterations: int = 50,
     reliable: bool = False,
     checkpoint_interval: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star — the
     O(log n)-round variant for graphs whose diameter is unbounded (long
@@ -272,7 +278,7 @@ def connected_components_star(
             F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
         ).first()
         prev = (digest[0], digest[1])
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
             # ---- large-star ----
             sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
             mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
@@ -301,6 +307,8 @@ def connected_components_star(
                 F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
             ).first()
             cur = (digest[0], digest[1])
+            if stats is not None:
+                stats["rounds"] = _round + 1
             if cur == prev:
                 break
             prev = cur

@@ -169,31 +169,174 @@ def lsh_ann_topk(
 
 IVF_CLUSTERS = 16
 IVF_NPROBE = 2
-IVF_SAMPLE = 2048
 IVF_ITERS = 8
+#: fixed-point scale for the distributed Lloyd partial sums: per-element
+#: floor(xn * 2^20) BEFORE summation makes every per-cluster sum an exact
+#: int64 — order-INDEPENDENT, so the distributed aggregation is bit-
+#: deterministic regardless of partitioning AND exactly replayable by the
+#: oracle builder in numpy. (Float partial sums would round differently
+#: per partition order — non-deterministic run to run.)
+IVF_QUANT = 1 << 20
+#: training rows with fold-norm below this are excluded (a zero-ish vector
+#: divided by the 1e-12 norm clamp would overflow the quantization)
+IVF_MIN_NORM = 1e-6
 
 
-def ivf_centroids(vectors: np.ndarray, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> np.ndarray:
-    """Deterministic spherical k-means centroids (float64, unit-norm).
+def _normalized_col(vec_col):
+    """array<double> of the unit-normalized vector. The norm is hoisted
+    through a 1-element transform binding — an inline ``_norm`` inside the
+    division lambda would be re-evaluated PER ELEMENT (no subexpression
+    elimination in higher-order-function lambdas: O(dim^2) per row)."""
+    norm = F.greatest(_norm(vec_col), F.lit(1e-12))
+    return F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda n: F.transform(vec_col, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
 
-    Init = the first ``k`` sample vectors; fixed ``iters`` Lloyd rounds
-    with cosine assignment; an emptied cluster keeps its old centroid.
-    Fully deterministic given the (sorted) sample, so the driver-side
-    Spark path and the DuckDB-oracle builder derive IDENTICAL centroids
-    from the same parquet and the literals in both plans match.
+
+def _fold_dots_np(xn: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, k) dots with the SAME sequential left-to-right float64 rounding
+    as the Spark ``F.aggregate`` fold. np.cumsum accumulates strictly in
+    order (unlike np.dot/np.sum's pairwise/SIMD regrouping), so its last
+    element equals the fold bit-for-bit."""
+    prods = xn[:, None, :] * centroids[None, :, :]
+    return np.cumsum(prods, axis=2)[:, :, -1]
+
+
+def _normalize_np(x: np.ndarray) -> np.ndarray:
+    """Replays ``_normalized_col`` in numpy: fold-ordered sum of squares,
+    sqrt, clamp, per-element divide."""
+    sq = np.cumsum(x * x, axis=1)[:, -1]
+    norm = np.maximum(np.sqrt(sq), 1e-12)
+    return x / norm[:, None], norm
+
+
+def _update_centroids(old: np.ndarray, agg: dict) -> np.ndarray:
+    """Shared driver-side Lloyd update (Spark path AND oracle replay call
+    THIS function, so only the per-row map needs cross-engine parity).
+    ``agg``: 1-based cluster -> (count, [int64 quantized sums per dim]).
+    An emptied cluster keeps its old centroid."""
+    c = old.copy()
+    for j in range(old.shape[0]):
+        cnt, sums = agg.get(j + 1, (0, None))
+        if not cnt:
+            continue
+        m = np.asarray(sums, dtype=np.float64) / (float(cnt) * IVF_QUANT)
+        norm = float(np.linalg.norm(m))
+        if norm > 0:
+            c[j] = m / norm
+    return c
+
+
+def ivf_train_distributed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = IVF_CLUSTERS,
+    iters: int = IVF_ITERS,
+    sample_mod: int = 1,
+    handles: list | None = None,
+) -> np.ndarray:
+    """Distributed deterministic spherical k-means: the training scan is a
+    Spark aggregation — the corpus NEVER collects to the driver.
+
+    Per round: assignment = argmax of the per-centroid float64 fold over
+    the normalized vector (first index wins ties), then one
+    groupBy(cluster) producing (count, per-dimension int64 sums of
+    floor(xn * 2^20)) — k rows to the driver, where ``_update_centroids``
+    renormalizes. Integer sums are order-independent, so the result is
+    bit-deterministic at ANY partitioning/cluster size and exactly
+    replayable by ``ivf_centroids_replay`` (the oracle side). Init = the
+    ``n_clusters`` smallest-id training vectors (a bounded k-row collect).
+    ``sample_mod`` trains on the deterministic slice id %% sample_mod == 0
+    — the knob that keeps training cost fixed as the corpus grows (the
+    index over 100 TB does not need every vector to place centroids).
     """
-    x = np.asarray(vectors, dtype=np.float64)
-    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    c = xn[:k].copy()
+    train = df
+    if sample_mod > 1:
+        train = train.filter(F.col(id_col) % sample_mod == 0)
+    dim = len(train.select(vec_col).first()[0])
+    xn = _normalized_col(F.col(vec_col))
+    tdf = (
+        train.filter(_norm(F.col(vec_col)) > IVF_MIN_NORM)
+        .select(
+            F.col(id_col).alias("_id"),
+            xn.alias("xn"),
+        )
+        .withColumn(
+            "q",
+            F.transform(
+                F.col("xn"), lambda x: F.floor(x * F.lit(float(IVF_QUANT))).cast("long")
+            ),
+        )
+        .persist()
+    )
+    if handles is not None:
+        handles.append(tdf)
+    init_rows = tdf.orderBy("_id").limit(n_clusters).select("xn").collect()
+    if not init_rows:
+        tdf.unpersist()
+        raise ValueError("ivf_train_distributed: no usable training vectors")
+    c = np.array([r[0] for r in init_rows], dtype=np.float64)
     for _ in range(iters):
-        assign = np.argmax(xn @ c.T, axis=1)
-        for j in range(k):
-            members = xn[assign == j]
+        assign = F.array_position(
+            F.col("ds"), F.array_max("ds")
+        )  # first max wins ties, same as np.argmax
+        agg_rows = (
+            tdf.withColumn("ds", _ivf_dots_col(F.col("xn"), c))
+            .select(assign.alias("cluster"), "q")
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()  # <= n_clusters rows — bounded by design
+        )
+        agg = {
+            int(r["cluster"]): (r["cnt"], [r[f"s{d}"] for d in range(dim)])
+            for r in agg_rows
+        }
+        c = _update_centroids(c, agg)
+    if handles is None:
+        tdf.unpersist()
+    return c
+
+
+def ivf_centroids_replay(
+    ids,
+    vectors,
+    n_clusters: int = IVF_CLUSTERS,
+    iters: int = IVF_ITERS,
+    sample_mod: int = 1,
+) -> np.ndarray:
+    """Exact numpy replay of ``ivf_train_distributed`` for the oracle
+    builder: same slice, same norm filter, same fold-ordered per-row
+    arithmetic (cumsum = the Spark fold), same quantized order-free sums,
+    same shared ``_update_centroids``. Bit-identical centroids."""
+    ids = np.asarray(ids, dtype=np.int64)
+    x = np.asarray(vectors, dtype=np.float64)
+    if sample_mod > 1:
+        keep = ids % sample_mod == 0
+        ids, x = ids[keep], x[keep]
+    xn, norm = _normalize_np(x)
+    keep = norm > IVF_MIN_NORM
+    ids, xn = ids[keep], xn[keep]
+    if not len(ids):
+        raise ValueError("ivf_centroids_replay: no usable training vectors")
+    q = np.floor(xn * float(IVF_QUANT)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    c = xn[order[:n_clusters]].copy()
+    for _ in range(iters):
+        assign = np.argmax(_fold_dots_np(xn, c), axis=1)  # first max, like Spark
+        agg = {}
+        for j in range(c.shape[0]):
+            members = q[assign == j]
             if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 0:
-                    c[j] = m / norm
+                agg[j + 1] = (len(members), members.sum(axis=0, dtype=np.int64))
+        c = _update_centroids(c, agg)
     return c
 
 
@@ -222,35 +365,34 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_clusters: int = IVF_CLUSTERS,
     nprobe: int = IVF_NPROBE,
-    sample: int = IVF_SAMPLE,
+    iters: int = IVF_ITERS,
+    sample_mod: int = 1,
+    handles: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to their nearest
     k-means centroid (the inverted file); each query probes its ``nprobe``
     best clusters and re-ranks exactly within them.
 
-    Scale shape: the centroid sample is a BOUNDED driver collect
-    (``sample`` rows, sorted by id — deterministic); cluster assignment is
-    a JVM expression over broadcast centroid literals; the candidate join
-    is an equi-join on cluster id, so only (cluster, id, vector-of-
-    candidates) shuffles — never the N x Q product. Cluster membership
-    counts are data-dependent; probing more clusters trades cost for
-    recall like any IVF index.
+    Scale shape: training is DISTRIBUTED (``ivf_train_distributed`` — the
+    corpus never collects; each Lloyd round ships k rows of exact integer
+    partial sums to the driver, ``sample_mod`` bounds training cost as the
+    corpus grows); cluster assignment is a JVM expression over broadcast
+    centroid literals; the candidate join is an equi-join on cluster id,
+    so only (cluster, id, vector-of-candidates) shuffles — never the
+    N x Q product. Cluster membership counts are data-dependent; probing
+    more clusters trades cost for recall like any IVF index.
 
     Cluster id = 1-based position of the max dot (first occurrence on
     ties) — the same rule the oracle's ``list_indexof(ds, list_max(ds))``
     applies. A query's probe set = every cluster j whose dot is exceeded
     by fewer than ``nprobe`` other clusters (identical floats => identical
-    sets in both engines).
+    sets in both engines; the oracle replays training bit-exactly via
+    ``ivf_centroids_replay``).
     """
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    centroids = ivf_train_distributed(
+        df, id_col, vec_col, n_clusters, iters, sample_mod, handles=handles
     )
-    if not rows:
-        raise ValueError("ivf_topk: input has no vectors to sample centroids from")
-    centroids = ivf_centroids(
-        np.array([r[1] for r in rows], dtype=np.float64), n_clusters
-    )
-    # fewer sample rows than requested clusters -> fewer centroids; probe
+    # fewer training rows than requested clusters -> fewer centroids; probe
     # indices must match or element_at past the end throws under ANSI mode
     n_clusters = centroids.shape[0]
     nprobe = min(nprobe, n_clusters)

@@ -1151,15 +1151,183 @@ def _page_text(doc: PdfDocument, page: dict) -> str:
     return "\n".join(lines)
 
 
+def _page_runs(doc: PdfDocument, page: dict) -> list[tuple]:
+    """Geometry-tracking walk of the content stream: positioned text runs
+    ``(x, y, text, est_width, font_size)`` in TEXT SPACE (translation
+    components of Tm/Td; rotation/skew are ignored — column detection
+    needs x-bands, not exact glyph metrics). Run widths reuse the same
+    CJK~1em / other~0.5em estimate as the content-order extractor."""
+    fonts: dict[str, tuple[dict[int, str], int] | None] = {}
+    res = doc.resolve(page.get("Resources")) or {}
+    font_dict = doc.resolve(res.get("Font")) or {}
+    if isinstance(font_dict, dict):
+        for fname, fref in font_dict.items():
+            fobj = doc.resolve(fref)
+            cmap = None
+            if isinstance(fobj, dict):
+                tu = fobj.get("ToUnicode")
+                if isinstance(tu, Ref):
+                    cmap = doc.tounicode(tu.num)
+            fonts[str(fname)] = cmap
+    contents = page.get("Contents")
+    refs = contents if isinstance(contents, list) else [contents]
+    blobs = [doc.stream_bytes(r.num) for r in refs if isinstance(r, Ref)]
+    content = b"\n".join(b for b in blobs if b)
+    runs: list[tuple] = []
+    if not content:
+        return runs
+
+    cur_font: tuple[dict[int, str], int] | None = None
+    font_size = 12.0
+    x = y = line_x = line_y = 0.0
+    leading = 0.0
+    stack: list = []
+
+    def est_width(s: str) -> float:
+        return sum(font_size if ord(c) >= 0x2E80 else font_size * 0.5 for c in s)
+
+    def show(raw: bytes):
+        nonlocal x
+        shown = _decode_with_font(raw, cur_font)
+        if shown:
+            w = est_width(shown)
+            runs.append((x, y, shown, w, font_size))
+            x += w
+
+    def td(tx: float, ty: float):
+        nonlocal x, y, line_x, line_y
+        line_x += tx
+        line_y += ty
+        x, y = line_x, line_y
+
+    lex = _Lexer(content)
+    while True:
+        try:
+            tok = lex.next_token()
+        except Exception:
+            break
+        if tok == b"":
+            break
+        if isinstance(tok, PdfString) or not isinstance(tok, bytes):
+            stack.append(tok)
+            continue
+        op = tok
+        if op == b"BT":
+            x = y = line_x = line_y = 0.0
+        elif op == b"Tf" and len(stack) >= 2 and isinstance(stack[-2], Name):
+            cur_font = fonts.get(str(stack[-2]))
+            if isinstance(stack[-1], (int, float)) and stack[-1] > 0:
+                font_size = float(stack[-1])
+        elif op == b"TL" and stack and isinstance(stack[-1], (int, float)):
+            leading = float(stack[-1])
+        elif op == b"Tm" and len(stack) >= 6 and isinstance(stack[-1], (int, float)) and isinstance(stack[-2], (int, float)):
+            line_x = x = float(stack[-2])
+            line_y = y = float(stack[-1])
+        elif op in (b"Td", b"TD") and len(stack) >= 2 and isinstance(stack[-1], (int, float)) and isinstance(stack[-2], (int, float)):
+            if op == b"TD":
+                leading = -float(stack[-1])
+            td(float(stack[-2]), float(stack[-1]))
+        elif op == b"T*":
+            td(0.0, -leading)
+        elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+            show(stack[-1])
+        elif op in (b"'", b'"') and stack and isinstance(stack[-1], bytes):
+            td(0.0, -leading)
+            show(stack[-1])
+        elif op == b"TJ" and stack and isinstance(stack[-1], list):
+            for item in stack[-1]:
+                if isinstance(item, bytes):
+                    show(item)
+                elif isinstance(item, (int, float)):
+                    x -= float(item) / 1000.0 * font_size
+        stack.clear()
+    return runs
+
+
+#: minimum empty x-band width (points) treated as a column gutter —
+#: ~1.5 em at 12 pt; narrower whitespace is word spacing, not layout
+MIN_COLUMN_GUTTER = 18.0
+
+
+def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> str | None:
+    """Reading-order text from positioned runs when the page has >= 2
+    x-bands separated by an empty gutter; None when no column structure is
+    detected (caller falls back to content order). Within a column, runs
+    group by baseline (y quantized), baselines emit top-to-bottom (PDF y
+    grows upward) and left-to-right, with a space for real x-gaps — the
+    same 0.3 em gap rule as the content-order extractor.
+
+    Limitation (documented): a full-width element (title/abstract)
+    bridges the gutter and suppresses column detection for its page — an
+    XY-cut recursion would segment rows first; out of scope here.
+    """
+    iv = sorted((r[0], r[0] + r[3]) for r in runs if r[2].strip())
+    if not iv:
+        return None
+    groups: list[list[float]] = []
+    for s, e in iv:
+        if groups and s - groups[-1][1] < min_gutter:
+            groups[-1][1] = max(groups[-1][1], e)
+        else:
+            groups.append([s, e])
+    if len(groups) < 2:
+        return None
+    import bisect
+
+    starts = [g[0] for g in groups]
+    cols: list[list[tuple]] = [[] for _ in groups]
+    for r in runs:
+        if not r[2].strip():
+            continue
+        i = max(bisect.bisect_right(starts, r[0]) - 1, 0)
+        cols[i].append(r)
+    out_cols: list[str] = []
+    for col in cols:
+        if not col:
+            continue
+        by_line: dict[float, list[tuple]] = {}
+        for r in col:
+            by_line.setdefault(round(r[1], 1), []).append(r)
+        lines = []
+        for yk in sorted(by_line, reverse=True):
+            parts: list[str] = []
+            end_x = None
+            for r in sorted(by_line[yk], key=lambda t: t[0]):
+                if (
+                    parts
+                    and end_x is not None
+                    and r[0] - end_x > 0.3 * r[4]
+                    and not parts[-1].endswith((" ", "\n"))
+                ):
+                    parts.append(" ")
+                parts.append(r[2])
+                end_x = r[0] + r[3]
+            lines.append("".join(parts))
+        out_cols.append("\n".join(lines))
+    return "\n".join(out_cols)
+
+
 def extract_pdf_text(
-    data: bytes, add_page_header: bool = False, password: bytes | str = b""
+    data: bytes,
+    add_page_header: bool = False,
+    password: bytes | str = b"",
+    column_layout: bool = False,
 ) -> str:
     """Whole-document text, page-concatenated like the reference
     (``PdfHelper.cs:140-170``): per page trim CR/LF/space, optional
     ``=== [Page i/n] ===`` header, blank-line separators, blank pages kept
     as separators. ``password`` opens password-protected files the way
     PdfPig's open-with-password does for the reference; a wrong password
-    degrades to empty pages via ``encryption_unsupported``."""
+    degrades to empty pages via ``encryption_unsupported``.
+
+    ``column_layout=True`` reorders multi-column pages into reading order
+    (x-band gutter detection over positioned runs — ``_columns_text``);
+    pages with no detected column structure keep content order. OFF by
+    default DELIBERATELY: the reference's ContentOrderTextExtractor
+    (``PdfHelper.cs:40``) emits content-stream order, so the default
+    stays byte-parity with it and column mode is the opt-in improvement
+    for two-column papers/scanned books, where content order interleaves
+    the columns."""
     doc = PdfDocument(data, password=password)
     pages = doc.pages()
     total = len(pages)
@@ -1168,7 +1336,12 @@ def extract_pdf_text(
     parts: list[str] = []
     for i, page in enumerate(pages, 1):
         try:
-            text = _page_text(doc, page).strip("\r\n ")
+            text = None
+            if column_layout:
+                text = _columns_text(_page_runs(doc, page))
+            if text is None:
+                text = _page_text(doc, page)
+            text = text.strip("\r\n ")
         except Exception:
             text = ""
         if add_page_header:
@@ -1188,6 +1361,7 @@ def pdf_to_text(
     compact: bool = False,
     converter: Converter | None = None,
     password: bytes | str = b"",
+    column_layout: bool = False,
 ) -> str:
     """The reference's full pdf-command pipeline over one PDF byte blob
     (``PdfCommand.cs:211-247``): extract -> NormalizeCompat (always, like
@@ -1197,7 +1371,9 @@ def pdf_to_text(
     conversion; normalization is idempotent, so that second pass can never
     change anything and is not reproduced.)"""
     cc = converter or default_converter()
-    text = extract_pdf_text(data, add_page_header, password=password)
+    text = extract_pdf_text(
+        data, add_page_header, password=password, column_layout=column_layout
+    )
     text = cc.normalize_compat(text)
     if reflow:
         text = reflow_cjk_paragraphs(text, add_pdf_page_header=add_page_header, compact=compact)
@@ -1215,6 +1391,7 @@ def convert_pdf_files(
     reflow: bool = False,
     compact: bool = False,
     password: bytes | str = b"",
+    column_layout: bool = False,
 ) -> DataFrame:
     """binaryFile scan -> per-file extract/reflow/convert -> (path, text).
     ``password`` (one shared user/owner password, the common corpus case)
@@ -1226,7 +1403,7 @@ def convert_pdf_files(
             out = [
                 pdf_to_text(
                     bytes(c), config, punct, add_page_header, reflow, compact,
-                    password=password,
+                    password=password, column_layout=column_layout,
                 )
                 for c in pdf["content"]
             ]

@@ -71,17 +71,16 @@ def _build_objects(
     for i, lines in enumerate(pages):
         page_num = 5 + 2 * i
         content_num = page_num + 1
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
-        for j, line in enumerate(lines):
-            if j:
-                ops.append(b"0 -14 Td")
-            if cjk:
-                ops.append(_cid_hex(line) + b" Tj")
-            else:
-                esc = line.encode("latin-1").replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
-                ops.append(b"(" + esc + b") Tj")
-        ops.append(b"ET")
-        content = b"\n".join(ops)
+        if isinstance(lines, bytes):
+            content = lines  # pre-built raw content stream (layout fixtures)
+        else:
+            ops = [b"BT /F1 12 Tf 72 720 Td"]
+            for j, line in enumerate(lines):
+                if j:
+                    ops.append(b"0 -14 Td")
+                ops.append(_show_op(line, cjk))
+            ops.append(b"ET")
+            content = b"\n".join(ops)
         objects[page_num] = _obj(
             page_num,
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
@@ -90,6 +89,63 @@ def _build_objects(
         )
         objects[content_num] = _stream_obj(content_num, content, compress=compress, enc=enc)
     return objects
+
+
+def _show_op(line: str, cjk: bool) -> bytes:
+    if cjk:
+        return _cid_hex(line) + b" Tj"
+    esc = (
+        line.encode("latin-1")
+        .replace(b"\\", rb"\\")
+        .replace(b"(", rb"\(")
+        .replace(b")", rb"\)")
+    )
+    return b"(" + esc + b") Tj"
+
+
+def build_pdf_two_column(
+    columns: list[list[str]],
+    cjk: bool = True,
+    compress: bool = True,
+    xs: tuple = (72, 330),
+    top: float = 720.0,
+    line_height: float = 14.0,
+) -> bytes:
+    """One-page PDF whose CONTENT STREAM interleaves the columns ROW BY
+    ROW (left line, right line, next row...) with absolute Tm positioning
+    — the order a naive writer emits and exactly what makes content-order
+    extraction interleave columns. Ground-truth reading order is column
+    after column; ``extract_pdf_text(column_layout=True)`` must recover
+    it. ``xs`` are the column x origins (gutter >> MIN_COLUMN_GUTTER for
+    the default text widths)."""
+    n_rows = max(len(c) for c in columns)
+    ops = [b"BT /F1 12 Tf"]
+    for row in range(n_rows):
+        for col, lines in enumerate(columns):
+            if row >= len(lines):
+                continue
+            y = top - row * line_height
+            ops.append(b"1 0 0 1 %d %d Tm" % (int(xs[col]), int(y)))
+            ops.append(_show_op(lines[row], cjk))
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    objects = _build_objects([content], cjk, compress)
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += objects[num]
+    xref_pos = len(out)
+    max_num = max(objects)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, xref_pos)
+    )
+    return bytes(out)
 
 
 def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:

@@ -753,3 +753,35 @@ def test_legacy_password_latin1_encoding(method):
         pages, user_pw="café".encode("latin-1"), method=method
     )
     assert extract_pdf_text(locked, password="café") == plain
+
+
+def test_two_column_reading_order():
+    """A two-column page whose content stream interleaves the columns row
+    by row: content order (the reference-parity default) interleaves;
+    column_layout=True recovers column-by-column reading order."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_two_column
+
+    left = ["左欄第一行内容", "左欄第二行内容", "左欄第三行内容"]
+    right = ["右欄第一行内容", "右欄第二行内容", "右欄第三行内容"]
+    data = build_pdf_two_column([left, right])
+    # default stays content order (reference ContentOrderTextExtractor
+    # parity): each emitted line interleaves the two columns' same-row text
+    content_order = extract_pdf_text(data).strip().splitlines()
+    assert content_order[0] == left[0] + right[0]
+    # column mode: all of column 1 before any of column 2
+    cols = extract_pdf_text(data, column_layout=True).strip().splitlines()
+    assert cols == left + right, cols
+
+
+def test_two_column_latin_with_gaps_and_single_column_fallback():
+    from openccnet_spark.sources.pdf_synth import build_pdf, build_pdf_two_column
+
+    left = ["alpha one", "alpha two"]
+    right = ["beta one", "beta two"]
+    data = build_pdf_two_column([left, right], cjk=False)
+    cols = extract_pdf_text(data, column_layout=True).strip().splitlines()
+    assert cols == left + right, cols
+    # a single-column page must be unchanged by column mode (gutter
+    # detection finds one band -> content-order fallback)
+    single = build_pdf([["只有一欄的頁面", "第二行文字"]])
+    assert extract_pdf_text(single, column_layout=True) == extract_pdf_text(single)

@@ -197,16 +197,43 @@ def test_ivf_finds_planted_neighbors(spark, embs):
         assert top[q] == (q + 100000, 1000), top
 
 
-def test_ivf_centroids_deterministic():
+def test_ivf_centroids_replay_deterministic():
     import numpy as np
 
     rng = np.random.default_rng(7)
     x = rng.normal(size=(300, 64))
-    a = similarity.ivf_centroids(x.copy())
-    b = similarity.ivf_centroids(x.copy())
+    ids = np.arange(300)
+    a = similarity.ivf_centroids_replay(ids, x.copy())
+    b = similarity.ivf_centroids_replay(ids, x.copy())
     assert (a == b).all()
     # unit-norm centroids
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ivf_distributed_training_matches_replay(spark):
+    """The heart of the oracle contract: Spark's DISTRIBUTED trainer
+    (quantized int partial sums over an arbitrary partitioning) must be
+    BIT-identical to the numpy replay — on a corpus larger than the old
+    2,048-row driver sample, under different partition counts, and with a
+    sample_mod slice."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 3000  # > the old bounded sample: training genuinely distributes
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    rows = [(i, x[i].tolist()) for i in range(n)]
+    for parts, mod in ((4, 1), (13, 1), (7, 3)):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(
+            parts
+        )
+        got = similarity.ivf_train_distributed(
+            df, n_clusters=8, iters=4, sample_mod=mod
+        )
+        want = similarity.ivf_centroids_replay(
+            np.arange(n), x.astype(np.float64), n_clusters=8, iters=4, sample_mod=mod
+        )
+        assert got.shape == want.shape
+        assert (got == want).all(), f"parts={parts} mod={mod}"
 
 
 def test_ivf_small_corpus(spark):
@@ -217,7 +244,7 @@ def test_ivf_small_corpus(spark):
     rng = np.random.default_rng(3)
     rows = [(i, rng.normal(size=8).tolist()) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = similarity.ivf_topk(df, query_ids=[0, 1], k=2, n_clusters=16, sample=64)
+    out = similarity.ivf_topk(df, query_ids=[0, 1], k=2, n_clusters=16)
     got = out.collect()
     assert {r.query_id for r in got} <= {0, 1}
     assert all(r.rank <= 2 for r in got)
