@@ -453,7 +453,13 @@ def _q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     is separately asserted in tests."""
     from openccnet_spark.operators.similarity import lsh_ann_topk
 
-    return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+    handles: list = []
+    out = lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
+        persist=True, handles=handles,
+    )
+    out._persist_handles = handles
+    return out
 
 
 #: (case_id, pages, builder kwargs, pdf_to_text kwargs, expected) — the PDF

@@ -316,9 +316,13 @@ def _scale_family_queries():
     def ann(spark, sf_dir, mult, stats=None):
         from openccnet_spark.operators.similarity import lsh_ann_topk
 
-        return lsh_ann_topk(
-            _scaled_embeddings(spark, sf_dir, mult), query_ids=[0, 1, 2, 3, 4], k=5
+        handles: list = []
+        out = lsh_ann_topk(
+            _scaled_embeddings(spark, sf_dir, mult), query_ids=[0, 1, 2, 3, 4], k=5,
+            persist=True, handles=handles,
         )
+        out._persist_handles = handles
+        return out
 
     def _components_fn(algorithm):
         # the iterative graph operators, same reliable-checkpoint path +

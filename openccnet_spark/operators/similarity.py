@@ -137,13 +137,25 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH candidate buckets + exact re-rank."""
+    """Approximate top-k: hyperplane-LSH candidate buckets + exact re-rank.
+
+    ``persist=True`` materializes the tagged (id, vector, bucket) frame
+    before the self-join so the bucket expressions (N_TABLES x
+    N_HYPERPLANES float folds per row) evaluate once instead of once per
+    side — same contract as ``lsh_near_duplicates``; the caller unpersists
+    via ``handles``."""
     planes = _hyperplanes(dim)
     buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
     tagged = df.select(
         F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
     )
+    if persist:
+        tagged = tagged.persist()
+        if handles is not None:
+            handles.append(tagged)
     q = tagged.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
@@ -255,23 +267,15 @@ def ivf_train_distributed(
     — the knob that keeps training cost fixed as the corpus grows (the
     index over 100 TB does not need every vector to place centroids).
     """
+    import pandas as pd
+
     train = df
     if sample_mod > 1:
         train = train.filter(F.col(id_col) % sample_mod == 0)
-    dim = len(train.select(vec_col).first()[0])
     xn = _normalized_col(F.col(vec_col))
     tdf = (
         train.filter(_norm(F.col(vec_col)) > IVF_MIN_NORM)
-        .select(
-            F.col(id_col).alias("_id"),
-            xn.alias("xn"),
-        )
-        .withColumn(
-            "q",
-            F.transform(
-                F.col("xn"), lambda x: F.floor(x * F.lit(float(IVF_QUANT))).cast("long")
-            ),
-        )
+        .select(F.col(id_col).alias("_id"), xn.alias("xn"))
         .persist()
     )
     if handles is not None:
@@ -282,23 +286,37 @@ def ivf_train_distributed(
         raise ValueError("ivf_train_distributed: no usable training vectors")
     c = np.array([r[0] for r in init_rows], dtype=np.float64)
     for _ in range(iters):
-        assign = F.array_position(
-            F.col("ds"), F.array_max("ds")
-        )  # first max wins ties, same as np.argmax
-        agg_rows = (
-            tdf.withColumn("ds", _ivf_dots_col(F.col("xn"), c))
-            .select(assign.alias("cluster"), "q")
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(dim)],
-            )
-            .collect()  # <= n_clusters rows — bounded by design
-        )
-        agg = {
-            int(r["cluster"]): (r["cnt"], [r[f"s{d}"] for d in range(dim)])
-            for r in agg_rows
-        }
+        centroids = c  # capture per-iteration value for the closure
+
+        def _partials(batches):
+            # vectorized per-partition map: the SAME numpy arithmetic as
+            # ivf_centroids_replay (cumsum fold + first-max argmax +
+            # quantized int sums), so Spark path == oracle replay by
+            # construction — and one small Arrow stage replaces a
+            # 16x64-term codegen fold that recompiled every round
+            for pdf in batches:
+                xs = np.stack(pdf["xn"].to_numpy())
+                q = np.floor(xs * float(IVF_QUANT)).astype(np.int64)
+                assign = np.argmax(_fold_dots_np(xs, centroids), axis=1)
+                rows = [
+                    (int(j) + 1, int((assign == j).sum()), q[assign == j].sum(axis=0).tolist())
+                    for j in np.unique(assign)
+                ]
+                yield pd.DataFrame(rows, columns=["cluster", "cnt", "sums"])
+
+        # <= n_clusters rows per PARTITION reach the driver (bounded by
+        # partitions x k, a few KB); the final reduce is exact integer
+        # adds — order-independent, so the result is deterministic at any
+        # partitioning
+        agg: dict = {}
+        for r in tdf.select("xn").mapInPandas(
+            _partials, "cluster int, cnt long, sums array<long>"
+        ).collect():
+            cnt, sums = agg.get(r.cluster, (0, None))
+            if sums is None:
+                agg[r.cluster] = (r.cnt, list(r.sums))
+            else:
+                agg[r.cluster] = (cnt + r.cnt, [a + b for a, b in zip(sums, r.sums)])
         c = _update_centroids(c, agg)
     if handles is None:
         tdf.unpersist()
