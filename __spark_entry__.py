@@ -385,7 +385,12 @@ def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     handles: list = []
     pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
-    out = connected_components_star(pairs, reliable=True, checkpoint_interval=4)
+    # interval=1 (NOT the propagation queries' 4): star runs O(log n)
+    # rounds, so per-round durable checkpoints are already cheap — and its
+    # bushy per-round plan (union + 2 joins + 2 distincts) makes
+    # persist-only rounds pay more in nested-plan analysis than the
+    # checkpoint I/O they save (solo A/B at sf0.1: 23.4 s vs 7.1 s)
+    out = connected_components_star(pairs, reliable=True, checkpoint_interval=1)
     for h in handles:
         h.unpersist()
     return out

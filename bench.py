@@ -339,12 +339,17 @@ def _scale_family_queries():
             pairs = minhash_near_duplicates(
                 _scaled_mutant_docs(spark, sf_dir, mult), persist=True, handles=handles
             )
-            fn = (
-                connected_components_star
-                if algorithm == "star"
-                else connected_components
-            )
-            out = fn(pairs, reliable=True, checkpoint_interval=4, stats=stats)
+            # interval mirrors the driver queries: 4 for propagation
+            # (many shallow rounds — I/O dominates), 1 for star (few
+            # bushy rounds — nested-plan analysis dominates; see BENCH.md)
+            if algorithm == "star":
+                out = connected_components_star(
+                    pairs, reliable=True, checkpoint_interval=1, stats=stats
+                )
+            else:
+                out = connected_components(
+                    pairs, reliable=True, checkpoint_interval=4, stats=stats
+                )
             out._persist_handles = handles
             return out
 

@@ -255,6 +255,13 @@ def connected_components_star(
     Both are one groupBy-min + one equi-join on u — identical shuffle
     building blocks to propagation, just O(log n) rounds. At the fixpoint
     E is a union of stars (leaf → component-min), read off directly.
+
+    ``checkpoint_interval``: keep the default 1 here. Star runs few
+    rounds (per-round durable checkpoints are already cheap) and its
+    bushy per-round plan makes persist-only rounds pay more in
+    nested-plan analysis than the checkpoint I/O they save (solo A/B at
+    sf0.1: 23.4 s at interval=4 vs 7.1 s at 1 — BENCH.md round 5). The
+    knob's win is for propagation's many shallow rounds.
     """
     e = (
         pairs.select(
@@ -289,6 +296,11 @@ def connected_components_star(
                 .select(F.col("v").alias("u"), m.alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
+                # consumed TWICE below (small-star's groupBy AND its join):
+                # without materialization the whole large-star subplan —
+                # union + groupBy + join + distinct — executes twice per
+                # round (measured ~2x round cost at sf0.1)
+                .persist()
             )
             # ---- small-star (edges already big->small: u > v) ----
             smins = large.groupBy("u").agg(F.min("v").alias("mn"))
@@ -306,6 +318,9 @@ def connected_components_star(
             digest = e.agg(
                 F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
             ).first()
+            # the digest materialized e (persist-only rounds are lazy
+            # until an action) — only now is `large` re-read-proof
+            large.unpersist()
             cur = (digest[0], digest[1])
             if stats is not None:
                 stats["rounds"] = _round + 1
