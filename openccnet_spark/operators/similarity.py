@@ -130,6 +130,49 @@ def lsh_bucket_col(vec_col, planes: np.ndarray, table: int):
     return F.concat_ws("_", F.lit(table), key)
 
 
+def lsh_tagged_frame(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(id, vector, bucket) exploded over all hash tables, computed in ONE
+    vectorized Arrow stage instead of the equivalent JVM expression tree.
+
+    The expression form (``lsh_bucket_col`` x N_TABLES, kept for the
+    oracle's documentation of the fold) builds a ~4,096-literal tree
+    (8 tables x 8 planes x 64 coefficients) whose Catalyst analysis +
+    codegen costs seconds PER QUERY — dominant at bench scale, pure
+    overhead at any scale. The numpy path is bucket-for-bucket identical:
+    ``np.cumsum`` accumulates sequentially, so each projection carries the
+    same left-to-right float64 rounding as the ``F.aggregate`` fold the
+    DuckDB oracle replays (same argument as ``ivf_centroids_replay``),
+    and the sign/bit/key assembly is integer-exact."""
+    import pandas as pd
+
+    planes = _hyperplanes(dim)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+
+    def _tag(batches):
+        for pdf in batches:
+            xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(xs)
+            keys = np.empty((n_tables, n), dtype=np.int64)
+            for t in range(n_tables):
+                prods = xs[:, None, :] * planes[t][None, :, :]
+                proj = np.cumsum(prods, axis=2)[:, :, -1]
+                keys[t] = ((proj >= 0).astype(np.int64) << np.arange(n_planes)).sum(
+                    axis=1
+                )
+            ids = np.tile(pdf[id_col].to_numpy(), n_tables)
+            vecs = list(pdf[vec_col]) * n_tables
+            buckets = [
+                f"{t}_{keys[t, i]}" for t in range(n_tables) for i in range(n)
+            ]
+            yield pd.DataFrame({id_col: ids, vec_col: vecs, "bucket": buckets})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _tag, f"{id_col} long, {vec_col} array<float>, bucket string"
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_ids,
@@ -147,11 +190,7 @@ def lsh_ann_topk(
     N_HYPERPLANES float folds per row) evaluate once instead of once per
     side — same contract as ``lsh_near_duplicates``; the caller unpersists
     via ``handles``."""
-    planes = _hyperplanes(dim)
-    buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
-    tagged = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
-    )
+    tagged = lsh_tagged_frame(df, id_col, vec_col, dim)
     if persist:
         tagged = tagged.persist()
         if handles is not None:
@@ -503,13 +542,11 @@ def lsh_near_duplicates(
     — effectively total, which is why this can share the brute-force
     oracle on the test corpus.
     """
-    planes = _hyperplanes(dim)
-    buckets = F.array(*[lsh_bucket_col(F.col(vec_col), planes, t) for t in range(N_TABLES)])
-    tagged = df.select(F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket"))
+    tagged = lsh_tagged_frame(df, id_col, vec_col, dim)
     if persist:
-        # the bucket expressions (N_TABLES x N_HYPERPLANES float folds) are
-        # consumed by the oversized count AND both self-join sides — persist
-        # so they evaluate once; caller unpersists via ``handles``
+        # the tagged frame (one Arrow bucket stage) is consumed by the
+        # oversized count AND both self-join sides — persist so it
+        # evaluates once; caller unpersists via ``handles``
         tagged = tagged.persist()
         if handles is not None:
             handles.append(tagged)
