@@ -414,6 +414,42 @@ def _ivf_dots_col(vec_col, centroids: np.ndarray):
     return F.array(*cols)
 
 
+def _ivf_tagged_frame(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray, nprobe: int
+) -> DataFrame:
+    """(id, vector, cluster, probes) in ONE vectorized Arrow stage — the
+    expression form (``_ivf_dots_col``, kept as the oracle's documentation
+    of the fold) is a ~1,024-literal tree with per-query compile cost.
+    Same parity argument as ``lsh_tagged_frame``: cumsum == the fold the
+    oracle's SQL replays, so cluster ids and probe sets are identical.
+    ``cluster`` is the 1-based first-max index; ``probes`` is every
+    cluster whose dot is exceeded by fewer than ``nprobe`` others."""
+    import pandas as pd
+
+    def _tag(batches):
+        for pdf in batches:
+            xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ds = _fold_dots_np(xs, centroids)  # (n, k)
+            cluster = np.argmax(ds, axis=1) + 1  # first max, like the SQL
+            n_greater = (ds[:, None, :] > ds[:, :, None]).sum(axis=2)  # (n, k)
+            probes = [
+                (np.nonzero(row < nprobe)[0] + 1).tolist() for row in n_greater
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: list(pdf[vec_col]),
+                    "cluster": cluster,
+                    "probes": probes,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _tag,
+        f"{id_col} long, {vec_col} array<float>, cluster long, probes array<long>",
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -450,29 +486,19 @@ def ivf_topk(
         df, id_col, vec_col, n_clusters, iters, sample_mod, handles=handles
     )
     # fewer training rows than requested clusters -> fewer centroids; probe
-    # indices must match or element_at past the end throws under ANSI mode
+    # indices must match across engines
     n_clusters = centroids.shape[0]
     nprobe = min(nprobe, n_clusters)
-    ds = _ivf_dots_col(F.col(vec_col), centroids)
-    tagged = df.select(
-        F.col(id_col), F.col(vec_col), ds.alias("ds")
-    ).withColumn("cluster", F.array_position(F.col("ds"), F.array_max("ds")))
+    tagged = _ivf_tagged_frame(df, id_col, vec_col, centroids, nprobe)
     corpus = tagged.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
-    )
-    probes = F.filter(
-        F.sequence(F.lit(1), F.lit(n_clusters)),
-        lambda j: F.size(
-            F.filter(F.col("ds"), lambda x: x > F.element_at(F.col("ds"), j))
-        )
-        < nprobe,
     )
     queries = (
         tagged.filter(F.col(id_col).isin(list(query_ids)))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(probes).alias("cluster"),
+            F.explode("probes").alias("cluster"),
         )
     )
     # score-then-distinct: dedupe multi-probe candidates on scalars only so
