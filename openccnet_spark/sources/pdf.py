@@ -1249,62 +1249,102 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[tuple]:
 MIN_COLUMN_GUTTER = 18.0
 
 
-def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> str | None:
-    """Reading-order text from positioned runs when the page has >= 2
-    x-bands separated by an empty gutter; None when no column structure is
-    detected (caller falls back to content order). Within a column, runs
-    group by baseline (y quantized), baselines emit top-to-bottom (PDF y
-    grows upward) and left-to-right, with a space for real x-gaps — the
-    same 0.3 em gap rule as the content-order extractor.
+def _render_line(rrs: list[tuple]) -> str:
+    """One baseline's runs, left-to-right, spacing real x-gaps — the same
+    0.3 em gap rule as the content-order extractor."""
+    parts: list[str] = []
+    end_x = None
+    for r in sorted(rrs, key=lambda t: t[0]):
+        if (
+            parts
+            and end_x is not None
+            and r[0] - end_x > 0.3 * r[4]
+            and not parts[-1].endswith((" ", "\n"))
+        ):
+            parts.append(" ")
+        parts.append(r[2])
+        end_x = r[0] + r[3]
+    return "".join(parts)
 
-    Limitation (documented): a full-width element (title/abstract)
-    bridges the gutter and suppresses column detection for its page — an
-    XY-cut recursion would segment rows first; out of scope here.
-    """
-    iv = sorted((r[0], r[0] + r[3]) for r in runs if r[2].strip())
-    if not iv:
-        return None
+
+def _gutter_groups(block_runs: list[tuple], min_gutter: float) -> list[list[float]]:
+    """Merged x-intervals of the runs; >= 2 groups means columns separated
+    by an empty vertical band of at least ``min_gutter``."""
+    iv = sorted((r[0], r[0] + r[3]) for r in block_runs)
     groups: list[list[float]] = []
     for s, e in iv:
         if groups and s - groups[-1][1] < min_gutter:
             groups[-1][1] = max(groups[-1][1], e)
         else:
             groups.append([s, e])
-    if len(groups) < 2:
+    return groups
+
+
+def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> str | None:
+    """Reading-order text from positioned runs; None when no column
+    structure is detected anywhere on the page (caller falls back to
+    content order).
+
+    One-level XY-cut: rows (baselines, y quantized, top-to-bottom — PDF y
+    grows upward) are first segmented by FULL-WIDTH spanner rows (a run
+    wider than 60%% of the page's text width — titles, abstracts,
+    headers), which would otherwise bridge the gutter and hide the
+    columns below them. Each row block between spanners gets its own
+    x-band gutter detection: >= 2 bands emit column after column
+    (top-to-bottom within each), otherwise the block emits in row order.
+    Blocks and spanners emit in top-to-bottom page order.
+    """
+    txt = [r for r in runs if r[2].strip()]
+    if not txt:
         return None
+    by_line: dict[float, list[tuple]] = {}
+    for r in txt:
+        by_line.setdefault(round(r[1], 1), []).append(r)
+    rows = [by_line[y] for y in sorted(by_line, reverse=True)]
+    page_w = max(r[0] + r[3] for r in txt) - min(r[0] for r in txt)
+
+    def is_spanner(rrs: list[tuple]) -> bool:
+        return any(r[3] > 0.6 * page_w for r in rrs)
+
+    # segment rows into blocks at spanner rows
+    blocks: list[tuple[bool, list[list[tuple]]]] = []
+    cur: list[list[tuple]] = []
+    for rrs in rows:
+        if is_spanner(rrs):
+            if cur:
+                blocks.append((False, cur))
+                cur = []
+            blocks.append((True, [rrs]))
+        else:
+            cur.append(rrs)
+    if cur:
+        blocks.append((False, cur))
+
     import bisect
 
-    starts = [g[0] for g in groups]
-    cols: list[list[tuple]] = [[] for _ in groups]
-    for r in runs:
-        if not r[2].strip():
+    any_columns = False
+    out: list[str] = []
+    for spanner, block_rows in blocks:
+        block_runs = [r for rrs in block_rows for r in rrs]
+        groups = [] if spanner else _gutter_groups(block_runs, min_gutter)
+        if len(groups) < 2:
+            out.extend(_render_line(rrs) for rrs in block_rows)
             continue
-        i = max(bisect.bisect_right(starts, r[0]) - 1, 0)
-        cols[i].append(r)
-    out_cols: list[str] = []
-    for col in cols:
-        if not col:
-            continue
-        by_line: dict[float, list[tuple]] = {}
-        for r in col:
-            by_line.setdefault(round(r[1], 1), []).append(r)
-        lines = []
-        for yk in sorted(by_line, reverse=True):
-            parts: list[str] = []
-            end_x = None
-            for r in sorted(by_line[yk], key=lambda t: t[0]):
-                if (
-                    parts
-                    and end_x is not None
-                    and r[0] - end_x > 0.3 * r[4]
-                    and not parts[-1].endswith((" ", "\n"))
-                ):
-                    parts.append(" ")
-                parts.append(r[2])
-                end_x = r[0] + r[3]
-            lines.append("".join(parts))
-        out_cols.append("\n".join(lines))
-    return "\n".join(out_cols)
+        any_columns = True
+        starts = [g[0] for g in groups]
+        cols: list[list[list[tuple]]] = [[] for _ in groups]  # col -> rows
+        for rrs in block_rows:
+            per_col: dict[int, list[tuple]] = {}
+            for r in rrs:
+                i = max(bisect.bisect_right(starts, r[0]) - 1, 0)
+                per_col.setdefault(i, []).append(r)
+            for i, col_runs in per_col.items():
+                cols[i].append(col_runs)
+        for col in cols:
+            out.extend(_render_line(rrs) for rrs in col)
+    if not any_columns:
+        return None
+    return "\n".join(out)
 
 
 def extract_pdf_text(

@@ -110,6 +110,7 @@ def build_pdf_two_column(
     xs: tuple = (72, 330),
     top: float = 720.0,
     line_height: float = 14.0,
+    title_lines: list[str] | None = None,
 ) -> bytes:
     """One-page PDF whose CONTENT STREAM interleaves the columns ROW BY
     ROW (left line, right line, next row...) with absolute Tm positioning
@@ -120,6 +121,10 @@ def build_pdf_two_column(
     the default text widths)."""
     n_rows = max(len(c) for c in columns)
     ops = [b"BT /F1 12 Tf"]
+    for j, line in enumerate(title_lines or []):
+        # full-width spanner rows above the columns (title/abstract shape)
+        ops.append(b"1 0 0 1 %d %d Tm" % (int(xs[0]), int(top + (len(title_lines) - j) * line_height)))
+        ops.append(_show_op(line, cjk))
     for row in range(n_rows):
         for col, lines in enumerate(columns):
             if row >= len(lines):

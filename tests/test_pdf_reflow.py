@@ -785,3 +785,17 @@ def test_two_column_latin_with_gaps_and_single_column_fallback():
     # detection finds one band -> content-order fallback)
     single = build_pdf([["只有一欄的頁面", "第二行文字"]])
     assert extract_pdf_text(single, column_layout=True) == extract_pdf_text(single)
+
+
+def test_two_column_with_spanning_title():
+    """A full-width title bridges the gutter; the one-level XY-cut must
+    segment it into its own row block so the columns below still separate
+    — title first, then column 1, then column 2."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_two_column
+
+    title = ["這是一個橫跨兩欄的非常長的文件標題共十八字"]  # > 0.6 page width
+    left = ["左欄第一行内容", "左欄第二行内容"]
+    right = ["右欄第一行内容", "右欄第二行内容"]
+    data = build_pdf_two_column([left, right], title_lines=title)
+    cols = extract_pdf_text(data, column_layout=True).strip().splitlines()
+    assert cols == title + left + right, cols
