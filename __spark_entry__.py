@@ -361,16 +361,19 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.components import connected_components
     from openccnet_spark.operators.dedup import minhash_near_duplicates
 
-    handles: list = []
-    pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=handles)
+    pair_handles: list = []
+    comp_handles: list = []
+    pairs = minhash_near_duplicates(_mutant_docs(spark, sf_dir), persist=True, handles=pair_handles)
     # reliable=True: real checkpoint() (not executor-local blocks), so a
     # lost executor mid-iteration replays from durable storage — the
     # setting a multi-hour 100 TB run needs. checkpoint_interval=4 keeps
     # recompute-on-failure bounded at 4 rounds while writing ~1/4 the
-    # checkpoint I/O (A/B in BENCH.md).
-    out = connected_components(pairs, reliable=True, checkpoint_interval=4)
-    for h in handles:  # the iteration has materialized everything already
+    # checkpoint I/O (A/B in BENCH.md); the mid-interval cached round
+    # frames surface via comp_handles for post-materialization release.
+    out = connected_components(pairs, reliable=True, checkpoint_interval=4, handles=comp_handles)
+    for h in pair_handles:  # the iteration has materialized everything already
         h.unpersist()
+    out._persist_handles = comp_handles
     return out
 
 
@@ -404,11 +407,15 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.dedup import minhash_near_duplicates
 
     docs = _mutant_docs(spark, sf_dir)
-    handles: list = []
-    pairs = minhash_near_duplicates(docs, persist=True, handles=handles)
-    out = canonical_documents(pairs, docs, reliable=True, checkpoint_interval=4)
-    for h in handles:
+    pair_handles: list = []
+    comp_handles: list = []
+    pairs = minhash_near_duplicates(docs, persist=True, handles=pair_handles)
+    out = canonical_documents(
+        pairs, docs, reliable=True, checkpoint_interval=4, handles=comp_handles
+    )
+    for h in pair_handles:
         h.unpersist()
+    out._persist_handles = comp_handles
     return out
 
 
@@ -458,13 +465,9 @@ def _q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     is separately asserted in tests."""
     from openccnet_spark.operators.similarity import lsh_ann_topk
 
-    handles: list = []
-    out = lsh_ann_topk(
-        _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
-        persist=True, handles=handles,
-    )
-    out._persist_handles = handles
-    return out
+    # no persist: the corpus tagging is single-use now (the query side
+    # tags its own filtered rows), so caching it would be pure overhead
+    return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
 #: (case_id, pages, builder kwargs, pdf_to_text kwargs, expected) — the PDF

@@ -316,13 +316,9 @@ def _scale_family_queries():
     def ann(spark, sf_dir, mult, stats=None):
         from openccnet_spark.operators.similarity import lsh_ann_topk
 
-        handles: list = []
-        out = lsh_ann_topk(
-            _scaled_embeddings(spark, sf_dir, mult), query_ids=[0, 1, 2, 3, 4], k=5,
-            persist=True, handles=handles,
+        return lsh_ann_topk(
+            _scaled_embeddings(spark, sf_dir, mult), query_ids=[0, 1, 2, 3, 4], k=5
         )
-        out._persist_handles = handles
-        return out
 
     def _components_fn(algorithm):
         # the iterative graph operators, same reliable-checkpoint path +
@@ -348,7 +344,8 @@ def _scale_family_queries():
                 )
             else:
                 out = connected_components(
-                    pairs, reliable=True, checkpoint_interval=4, stats=stats
+                    pairs, reliable=True, checkpoint_interval=4, stats=stats,
+                    handles=handles,
                 )
             out._persist_handles = handles
             return out

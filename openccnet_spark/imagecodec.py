@@ -152,6 +152,8 @@ def decode_png(data: bytes) -> DecodedImage:
             raise ImageDecodeError(f"PNG: CRC mismatch in {ctype!r}")
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ImageDecodeError(f"PNG: IHDR length {len(body)} != 13")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )

@@ -126,12 +126,16 @@ class _RoundCheckpointer:
         self._round = 0
         self._live_uri: str | None = None
         self._pending: list[DataFrame] = []
+        #: True when the most recent step produced a durable checkpoint —
+        #: lets callers skip a redundant final force
+        self.last_durable = False
 
     def step(self, df: DataFrame, force: bool = False) -> DataFrame:
         self._round += 1
         if not self.reliable:
             return df.localCheckpoint()
-        if force or self._round % self.interval == 0:
+        self.last_durable = force or self._round % self.interval == 0
+        if self.last_durable:
             out = _checkpointer(df, True)
             for p in self._pending:
                 p.unpersist()
@@ -144,6 +148,12 @@ class _RoundCheckpointer:
         self._pending.append(out)
         return out
 
+    def drain(self) -> list[DataFrame]:
+        """Hand the still-persisted mid-interval frames to the caller
+        (the repo's ``handles`` convention) and stop tracking them."""
+        out, self._pending = self._pending, []
+        return out
+
 
 def connected_components(
     pairs: DataFrame,
@@ -153,6 +163,7 @@ def connected_components(
     reliable: bool = False,
     checkpoint_interval: int = 1,
     stats: dict | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; ``component`` is the
     smallest node id reachable from it. Deterministic. Driver-side control
@@ -228,6 +239,16 @@ def connected_components(
                 "(component diameter exceeds the bound — raise max_iterations or "
                 "switch to connected_components_star)"
             )
+        if reliable:
+            # mid-interval persist-only round frames must not leak in the
+            # shared session's CacheManager: hand them to the caller via
+            # ``handles`` (unpersist AFTER materializing the result — the
+            # repo convention); with no handles list, force a durable
+            # checkpoint of the result so everything can release now
+            if handles is not None:
+                handles.extend(ck.drain())
+            elif not ck.last_durable:
+                labels = ck.step(labels, force=True)
     finally:
         edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
@@ -355,6 +376,7 @@ def canonical_documents(
     reliable: bool = False,
     algorithm: str = "propagation",
     checkpoint_interval: int = 1,
+    handles: list | None = None,
 ) -> DataFrame:
     """Per-document dedup decision from a near-dup pair list:
     (doc_id, component, is_canonical, n_members). Documents that appear in
@@ -372,7 +394,7 @@ def canonical_documents(
     elif algorithm == "propagation":
         comp = connected_components(
             pairs, max_iterations=max_iterations, reliable=reliable,
-            checkpoint_interval=checkpoint_interval,
+            checkpoint_interval=checkpoint_interval, handles=handles,
         )
     else:
         raise ValueError(f"unknown algorithm {algorithm!r} (propagation|star)")

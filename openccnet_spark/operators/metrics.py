@@ -74,10 +74,12 @@ def completed_buckets(spark: SparkSession, metrics_path: str) -> set:
                     cond = None
                 if cond:
                     break
-        if cond is not None:
-            if cond == "PATH_NOT_FOUND":
-                return set()
-        elif "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        # a non-matching structured class must still FALL THROUGH to the
+        # message probe: some Spark versions raise missing-path through a
+        # legacy error class whose message is the only stable signal
+        if cond == "PATH_NOT_FOUND" or (
+            "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+        ):
             return set()
         raise
     return {r.partition_id for r in rows}

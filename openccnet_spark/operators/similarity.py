@@ -144,11 +144,16 @@ def lsh_tagged_frame(
     ``np.cumsum`` accumulates sequentially, so each projection carries the
     same left-to-right float64 rounding as the ``F.aggregate`` fold the
     DuckDB oracle replays (same argument as ``ivf_centroids_replay``),
-    and the sign/bit/key assembly is integer-exact."""
+    and the sign/bit/key assembly is integer-exact.
+
+    Note: a filter on ``id_col`` cannot push BELOW a mapInPandas stage —
+    callers that need a tagged subset (the ANN query side) must filter
+    the input BEFORE calling this, not the output."""
     import pandas as pd
 
     planes = _hyperplanes(dim)
     n_tables, n_planes = planes.shape[0], planes.shape[1]
+    vec_type = dict(df.dtypes)[vec_col]  # preserve float/double element type
 
     def _tag(batches):
         for pdf in batches:
@@ -169,7 +174,7 @@ def lsh_tagged_frame(
             yield pd.DataFrame({id_col: ids, vec_col: vecs, "bucket": buckets})
 
     return df.select(id_col, vec_col).mapInPandas(
-        _tag, f"{id_col} long, {vec_col} array<float>, bucket string"
+        _tag, f"{id_col} long, {vec_col} {vec_type}, bucket string"
     )
 
 
@@ -185,19 +190,20 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidate buckets + exact re-rank.
 
-    ``persist=True`` materializes the tagged (id, vector, bucket) frame
-    before the self-join so the bucket expressions (N_TABLES x
-    N_HYPERPLANES float folds per row) evaluate once instead of once per
-    side — same contract as ``lsh_near_duplicates``; the caller unpersists
-    via ``handles``."""
+    The QUERY side tags only the filtered query rows (an id filter cannot
+    push below the Arrow bucket stage, so tagging-then-filtering would
+    bucket the whole corpus twice); the corpus side is tagged once. Each
+    tagging is therefore single-use and needs no persist — ``persist``/
+    ``handles`` are accepted for callers that want the corpus tagging
+    cached across several probes of the same index."""
     tagged = lsh_tagged_frame(df, id_col, vec_col, dim)
     if persist:
         tagged = tagged.persist()
         if handles is not None:
             handles.append(tagged)
-    q = tagged.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
+    q = lsh_tagged_frame(
+        df.filter(F.col(id_col).isin(list(query_ids))), id_col, vec_col, dim
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
     c = tagged.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
     )
@@ -415,38 +421,69 @@ def _ivf_dots_col(vec_col, centroids: np.ndarray):
 
 
 def _ivf_tagged_frame(
-    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray, nprobe: int
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
 ) -> DataFrame:
-    """(id, vector, cluster, probes) in ONE vectorized Arrow stage — the
+    """(id, vector, cluster) in ONE vectorized Arrow stage — the
     expression form (``_ivf_dots_col``, kept as the oracle's documentation
     of the fold) is a ~1,024-literal tree with per-query compile cost.
     Same parity argument as ``lsh_tagged_frame``: cumsum == the fold the
-    oracle's SQL replays, so cluster ids and probe sets are identical.
-    ``cluster`` is the 1-based first-max index; ``probes`` is every
-    cluster whose dot is exceeded by fewer than ``nprobe`` others."""
+    oracle's SQL replays, so cluster ids are identical. ``cluster`` is
+    the 1-based first-max index. Probe sets are NOT computed here — only
+    the handful of query rows need them (``_ivf_probe_frame``); an
+    every-row O(k^2) probe computation would be discarded corpus-wide."""
     import pandas as pd
+
+    vec_type = dict(df.dtypes)[vec_col]
 
     def _tag(batches):
         for pdf in batches:
             xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ds = _fold_dots_np(xs, centroids)  # (n, k)
             cluster = np.argmax(ds, axis=1) + 1  # first max, like the SQL
-            n_greater = (ds[:, None, :] > ds[:, :, None]).sum(axis=2)  # (n, k)
-            probes = [
-                (np.nonzero(row < nprobe)[0] + 1).tolist() for row in n_greater
-            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     vec_col: list(pdf[vec_col]),
                     "cluster": cluster,
-                    "probes": probes,
                 }
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        _tag,
-        f"{id_col} long, {vec_col} array<float>, cluster long, probes array<long>",
+        _tag, f"{id_col} long, {vec_col} {vec_type}, cluster long"
+    )
+
+
+def _ivf_probe_frame(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray, nprobe: int
+) -> DataFrame:
+    """(query_id, qv, cluster) with one row per probed cluster, over an
+    ALREADY-FILTERED query frame (filter the input before this — it
+    cannot push below the Arrow stage). Probe rule: every cluster whose
+    dot is exceeded by fewer than ``nprobe`` others — identical floats to
+    the oracle's ``len(list_filter(ds, x -> x > ds[j])) < nprobe``."""
+    import pandas as pd
+
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def _probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ds = _fold_dots_np(xs, centroids)
+            n_greater = (ds[:, None, :] > ds[:, :, None]).sum(axis=2)  # (n, k)
+            ids, vecs, clusters = [], [], []
+            for i in range(len(xs)):
+                for j in np.nonzero(n_greater[i] < nprobe)[0]:
+                    ids.append(pdf[id_col].iloc[i])
+                    vecs.append(pdf[vec_col].iloc[i])
+                    clusters.append(int(j) + 1)
+            yield pd.DataFrame(
+                {"query_id": ids, "qv": vecs, "cluster": clusters}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _probe, f"query_id long, qv {vec_type}, cluster long"
     )
 
 
@@ -489,17 +526,15 @@ def ivf_topk(
     # indices must match across engines
     n_clusters = centroids.shape[0]
     nprobe = min(nprobe, n_clusters)
-    tagged = _ivf_tagged_frame(df, id_col, vec_col, centroids, nprobe)
-    corpus = tagged.select(
+    corpus = _ivf_tagged_frame(df, id_col, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
     )
-    queries = (
-        tagged.filter(F.col(id_col).isin(list(query_ids)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.explode("probes").alias("cluster"),
-        )
+    # the query side probes only the FILTERED rows (a handful) — filtering
+    # the tagged corpus instead would re-run the Arrow stage corpus-wide
+    # (no pushdown through mapInPandas)
+    queries = _ivf_probe_frame(
+        df.filter(F.col(id_col).isin(list(query_ids))),
+        id_col, vec_col, centroids, nprobe,
     )
     # score-then-distinct: dedupe multi-probe candidates on scalars only so
     # the exchange never carries embedding vectors (see lsh_ann_topk)

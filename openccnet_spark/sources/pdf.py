@@ -1378,7 +1378,14 @@ def extract_pdf_text(
         try:
             text = None
             if column_layout:
-                text = _columns_text(_page_runs(doc, page))
+                # an isolated attempt: a failure in the positional pass
+                # must degrade to content order, not to an empty page.
+                # (A no-column page pays the runs walk twice — the cost
+                # of the opt-in mode, correctness first.)
+                try:
+                    text = _columns_text(_page_runs(doc, page))
+                except Exception:
+                    text = None
             if text is None:
                 text = _page_text(doc, page)
             text = text.strip("\r\n ")

@@ -133,24 +133,9 @@ def build_pdf_two_column(
             ops.append(b"1 0 0 1 %d %d Tm" % (int(xs[col]), int(y)))
             ops.append(_show_op(lines[row], cjk))
     ops.append(b"ET")
-    content = b"\n".join(ops)
-    objects = _build_objects([content], cjk, compress)
-    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objects):
-        offsets[num] = len(out)
-        out += objects[num]
-    xref_pos = len(out)
-    max_num = max(objects)
-    out += b"xref\n0 %d\n" % (max_num + 1)
-    out += b"0000000000 65535 f \n"
-    for num in range(1, max_num + 1):
-        out += b"%010d 00000 n \n" % offsets.get(num, 0)
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_num + 1, xref_pos)
-    )
-    return bytes(out)
+    # one "page" whose content is the pre-built stream (the bytes
+    # passthrough in _build_objects); serialization is build_pdf's
+    return build_pdf([b"\n".join(ops)], cjk=cjk, compress=compress)
 
 
 def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:

@@ -439,6 +439,26 @@ def test_checkpoint_interval_same_result_bounded_disk(spark, tmp_path):
             sc.setCheckpointDir(fresh)
 
 
+def test_components_driver_query_releases_all_caches(spark):
+    """The reliable/interval components query must leave NO extra cached
+    frames once its _persist_handles are released — mid-interval
+    persist-only round frames leaked here once, degrading every later
+    query in the shared session (review finding, round 5)."""
+    import __spark_entry__ as entry
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    df = entry.queries()["dedup_components"](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    for h in getattr(df, "_persist_handles", ()):
+        h.unpersist(True)  # blocking, so storage info is settled
+    assert n_cached() <= before
+
+
 def test_canonical_documents_star_algorithm(spark):
     """canonical_documents(algorithm='star') must match propagation."""
     from openccnet_spark.operators.components import canonical_documents

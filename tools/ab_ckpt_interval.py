@@ -39,8 +39,12 @@ def main():
         pairs = minhash_near_duplicates(
             entry._mutant_docs(spark, sf_dir), persist=True, handles=handles
         )
+        # handles=: the shipped driver path — mid-interval cached frames
+        # released after materialization (leaving them leaked degrades
+        # every later rep in the shared session, measured 2-4x)
         out = connected_components(
-            pairs, reliable=True, checkpoint_interval=interval, stats=stats
+            pairs, reliable=True, checkpoint_interval=interval, stats=stats,
+            handles=handles,
         )
         out._persist_handles = handles
         out._stats = stats
