@@ -156,3 +156,31 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("select conv_id, turn_idx from stream_dedup").collect()
     assert len(rows) == n_unique
     assert len({(r.conv_id, r.turn_idx) for r in rows}) == n_unique
+
+
+def test_replay_dedup_run_checkpoint_makes_reruns_exactly_once(spark, tmp_path):
+    """replay_dedup_run's checkpoint is the stream's exactly-once ledger:
+    re-running over the SAME source with the SAME checkpoint must process
+    nothing new and leave the sink table unchanged; new source files added
+    before a third run are picked up incrementally (and deduplicated)."""
+    from openccnet_spark.streaming import replay_dedup_run
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark_transcripts(spark, 12)
+    n_unique = base.count()
+    base.repartition(2).write.parquet(str(src / "a"))
+    base.repartition(3).write.parquet(str(src / "b"))
+
+    t1 = replay_dedup_run(spark, str(src / "*"), sink, ckpt, watermark="365 days")
+    assert t1.count() == n_unique
+    # identical re-run: the checkpoint remembers every processed file
+    t2 = replay_dedup_run(spark, str(src / "*"), sink, ckpt, watermark="365 days")
+    assert t2.count() == n_unique
+    # a THIRD copy arrives (another replay): still nothing new to emit
+    base.repartition(2).write.parquet(str(src / "c"))
+    t3 = replay_dedup_run(spark, str(src / "*"), sink, ckpt, watermark="365 days")
+    assert t3.count() == n_unique
+    rows = t3.select("conv_id", "turn_idx").collect()
+    assert len({(r.conv_id, r.turn_idx) for r in rows}) == n_unique
