@@ -157,6 +157,8 @@ def lsh_tagged_frame(
 
     def _tag(batches):
         for pdf in batches:
+            if not len(pdf):  # np.stack raises on an empty batch
+                continue
             xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n = len(xs)
             keys = np.empty((n_tables, n), dtype=np.int64)
@@ -323,12 +325,19 @@ def ivf_train_distributed(
         .select(F.col(id_col).alias("_id"), xn.alias("xn"))
         .persist()
     )
-    if handles is not None:
-        handles.append(tdf)
-    init_rows = tdf.orderBy("_id").limit(n_clusters).select("xn").collect()
+    try:
+        init_rows = tdf.orderBy("_id").limit(n_clusters).select("xn").collect()
+    except Exception:
+        tdf.unpersist()
+        raise
     if not init_rows:
         tdf.unpersist()
         raise ValueError("ivf_train_distributed: no usable training vectors")
+    # appended only after the empty-training check: on the raise above the
+    # frame is already released, and a stale reference in the CALLER's
+    # handles would double-unpersist it later
+    if handles is not None:
+        handles.append(tdf)
     c = np.array([r[0] for r in init_rows], dtype=np.float64)
     for _ in range(iters):
         centroids = c  # capture per-iteration value for the closure
@@ -340,6 +349,8 @@ def ivf_train_distributed(
             # construction — and one small Arrow stage replaces a
             # 16x64-term codegen fold that recompiled every round
             for pdf in batches:
+                if not len(pdf):  # np.stack raises on an empty batch
+                    continue
                 xs = np.stack(pdf["xn"].to_numpy())
                 q = np.floor(xs * float(IVF_QUANT)).astype(np.int64)
                 assign = np.argmax(_fold_dots_np(xs, centroids), axis=1)
@@ -437,6 +448,8 @@ def _ivf_tagged_frame(
 
     def _tag(batches):
         for pdf in batches:
+            if not len(pdf):  # np.stack raises on an empty batch
+                continue
             xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ds = _fold_dots_np(xs, centroids)  # (n, k)
             cluster = np.argmax(ds, axis=1) + 1  # first max, like the SQL
