@@ -419,6 +419,45 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED corpus index — the daily
+    operation of a production pipeline: batch 2 deduped against batch 1's
+    stored MinHash signature table, not a one-shot corpus self-dedup.
+    Batch 1 (even doc_ids) is signed and written to a parquet index; the
+    operator reads the index back and dedups a new batch of (fresh odd
+    docs) + (mutants of indexed docs → 'index' dups) + (mutants of the
+    fresh docs → 'batch' dups, greedy smaller-id-wins). The oracle
+    recomputes both duplicate sets brute-force from the two tables."""
+    import shutil
+
+    from openccnet_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        word_dropped_mutants,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)    # batch 1: already ingested
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)  # genuinely new content
+    batch = (
+        fresh
+        .unionByName(word_dropped_mutants(old))  # +100000: near-dup of index
+        .unionByName(word_dropped_mutants(fresh, id_offset=200_000))  # +200000: near-dup within batch
+    )
+    # the index is PERSISTED state: signatures written to parquet and read
+    # back, so the operator consumes exactly what a daily run would
+    idx_dir = tempfile.mkdtemp(prefix="openccnet-minhash-index-")
+    atexit.register(shutil.rmtree, idx_dir, ignore_errors=True)
+    minhash_signatures(old).write.mode("overwrite").parquet(idx_dir)
+    index_sigs = spark.read.parquet(idx_dir)
+    handles: list = []
+    out = incremental_minhash_dedup(
+        batch, index_sigs, old, persist=True, handles=handles
+    )
+    out._persist_handles = handles  # released by bench after materialization
+    return out
+
+
 def _q_skew_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defeating salted join: lineitem (skewed side, salted on its
     line number so a hot order spreads over 8 reducers) joined to orders,
@@ -1124,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _armed(_q_dedup_components),
         "dedup_components_star": _armed(_q_dedup_components_star),
         "dedup_canonical": _armed(_q_dedup_canonical),
+        "dedup_incremental": _armed(_q_dedup_incremental),
         "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
         "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
@@ -1308,6 +1348,7 @@ FROM d GROUP BY text
         "dedup_components": _dedup_components_oracle(),
         "dedup_components_star": _dedup_components_oracle(),
         "dedup_canonical": _dedup_canonical_oracle(),
+        "dedup_incremental": _dedup_incremental_oracle(),
         "skew_join_priority": """
 SELECT o.o_orderpriority,
        sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
@@ -1625,6 +1666,56 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _dedup_incremental_oracle() -> str:
+    """Brute-force recompute of the incremental decision from the two
+    tables: batch 1 = even doc_ids (the persisted index's content),
+    batch 2 = odd docs + mutants of evens (+100000) + mutants of odds
+    (+200000). 'index' dups = any >=threshold pair against batch 1;
+    'batch' dups = any >=threshold pair against a SMALLER-id batch-2 doc
+    (the operator's greedy rule); 'index' wins when both apply. Matching
+    this also proves the banded index join's recall, same as
+    dedup_minhash."""
+    from openccnet_spark.operators.dedup import JACCARD_THRESHOLD
+
+    mut = "substring(text, 1, length(text) - length(string_split(text, ' ')[-1]) - 1)"
+    shingle = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+            generate_series(1, greatest(len(w) - 2, 0)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})"""
+    jacc = (
+        "len(list_intersect(a.s, b.s))::DOUBLE"
+        " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    return f"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, {mut} FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 200000, {mut} FROM documents WHERE doc_id % 2 = 1
+),
+sh_o AS (SELECT * FROM ({shingle.format(src='old')}) WHERE len(s) > 0),
+sh_b AS (SELECT * FROM ({shingle.format(src='batch')}) WHERE len(s) > 0),
+di AS (
+  SELECT DISTINCT a.doc_id FROM sh_b a JOIN sh_o b ON {jacc} >= {JACCARD_THRESHOLD}
+),
+db AS (
+  SELECT DISTINCT a.doc_id FROM sh_b a
+  JOIN sh_b b ON a.doc_id > b.doc_id AND {jacc} >= {JACCARD_THRESHOLD}
+)
+SELECT bd.doc_id,
+       (di.doc_id IS NULL AND db.doc_id IS NULL) AS keep,
+       CASE WHEN di.doc_id IS NOT NULL THEN 'index'
+            WHEN db.doc_id IS NOT NULL THEN 'batch' END AS dup_src
+FROM batch bd
+LEFT JOIN di ON bd.doc_id = di.doc_id
+LEFT JOIN db ON bd.doc_id = db.doc_id
 """
 
 

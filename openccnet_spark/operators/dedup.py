@@ -175,6 +175,23 @@ def oversized_bucket_filter(
     return buckets.join(F.broadcast(oversized), key, "left_anti")
 
 
+def banded_frame(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_key) exploded over the 21 LSH bands — the banding both the
+    one-shot self-join dedup AND the incremental index path share, so a
+    stored index's band keys always match a fresh batch's."""
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(i),
+                *[F.element_at("sig", i * ROWS_PER_BAND + j + 1) for j in range(ROWS_PER_BAND)],
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("band_key"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -192,19 +209,7 @@ def lsh_candidate_pairs(
     after materializing the result); footprint is (band_key, id) rows
     only — a few MB per million docs.
     """
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(i),
-                *[F.element_at("sig", i * ROWS_PER_BAND + j + 1) for j in range(ROWS_PER_BAND)],
-            )
-            for i in range(N_BANDS)
-        ]
-    )
-    buckets = sig_df.select(
-        F.col(id_col), F.explode(bands).alias("band_key")
-    )
+    buckets = banded_frame(sig_df, id_col)
     if persist:
         buckets = buckets.persist()
         if handles is not None:
@@ -416,6 +421,23 @@ def simhash_near_duplicates(
     )
 
 
+def word_dropped_mutants(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_offset: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate mutants only (each doc minus its last word) at
+    ``id + id_offset``."""
+    return docs.withColumn(id_col, F.col(id_col) + id_offset).withColumn(
+        text_col,
+        F.expr(
+            f"substring({text_col}, 1, length({text_col}) - "
+            f"length(element_at(split({text_col}, ' '), -1)) - 1)"
+        ),
+    )
+
+
 def append_word_dropped_mutants(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -427,11 +449,144 @@ def append_word_dropped_mutants(
     dedup corpora, the bench's scaled family, and (replicated in SQL) the
     DuckDB oracles, so all three always measure the same near-dup
     workload."""
-    mutated = docs.withColumn(id_col, F.col(id_col) + id_offset).withColumn(
-        text_col,
-        F.expr(
-            f"substring({text_col}, 1, length({text_col}) - "
-            f"length(element_at(split({text_col}, ' '), -1)) - 1)"
-        ),
+    return docs.unionByName(word_dropped_mutants(docs, id_col, text_col, id_offset))
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index_sigs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    persist: bool = False,
+    handles: list | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted corpus signature index — the
+    operation a production pipeline runs daily: not "dedup this corpus
+    once" but "dedup today's ingest against everything already ingested".
+
+    Inputs:
+      * ``batch`` — the new documents (``id_col``, ``text_col``).
+      * ``index_sigs`` — the stored index: (``id_col``, ``sig``) MinHash
+        signatures of everything already ingested, as written by
+        ``minhash_signatures`` (typically ``spark.read.parquet`` of the
+        index table; band keys are DERIVED from ``sig`` via the shared
+        ``banded_frame``, so the index stays one slim array column and
+        banding changes never invalidate stored data).
+      * ``corpus`` — the already-ingested documents, used ONLY to fetch
+        the text of old candidate ids for exact-Jaccard verification (an
+        equi-join on id: only candidates' text is read, never the corpus
+        scanned per batch doc).
+
+    Candidates = (new band keys ⋈ index band keys) ∪ (new × new band
+    self-join) — one union frame with a side tag through the shared
+    oversized-bucket guard, so a degenerate bucket (boilerplate text) is
+    dropped consistently on both sides. Only (band_key, id, side)
+    shuffles; signatures and text never ride the candidate exchange.
+
+    Decision (deterministic, greedy-by-id): a batch doc is KEPT iff it has
+    no verified duplicate in the index AND no verified duplicate with a
+    SMALLER-id batch doc. ``dup_src`` records which rule dropped it
+    ('index' wins when both apply). The greedy rule intentionally does
+    not chain through dropped docs (doc 9 duping only dropped doc 5 is
+    still dropped: 5's survivor-or-index ancestor is its near-dup to
+    within 2x the threshold band) — the same contract a daily pipeline
+    wants, and exactly replicable in SQL.
+
+    Output: (``id_col``, keep boolean, dup_src string|NULL) — one row per
+    batch doc, including empty/shingle-less docs (never verifiable, always
+    kept). Feed kept ids to ``incremental_index_delta`` for the signature
+    rows to APPEND to the index table; appending survivors only makes
+    re-ingesting the same batch idempotent (every doc then exact-dups its
+    own index entry).
+
+    Scale shape: the stored index is (id, 63-long array) — ~0.5 KB/doc,
+    append-only, partitionable by ingest date; each batch run scans the
+    index ONCE to derive band keys (at 100 TB, materialize (band_key, id)
+    as a secondary bucketed table to skip even that), joins on band_key,
+    and verifies only candidates. Nothing is ever re-deduped.
+    """
+    new_sigs = minhash_signatures(batch, text_col, id_col)
+    if persist:
+        new_sigs = new_sigs.persist()
+        if handles is not None:
+            handles.append(new_sigs)
+    new_bands = banded_frame(new_sigs, id_col).withColumn("side", F.lit("n"))
+    old_bands = banded_frame(index_sigs, id_col).withColumn("side", F.lit("o"))
+    all_bands = new_bands.unionByName(old_bands)
+    if persist:
+        all_bands = all_bands.persist()
+        if handles is not None:
+            handles.append(all_bands)
+    # one guard over the COMBINED bucket population: a bucket degenerate
+    # only across the union (100 old + 150 new boilerplate rows) is just
+    # as join-explosive as a one-sided one
+    sized = oversized_bucket_filter(all_bands, "band_key")
+    n_side = sized.filter(F.col("side") == "n").select(
+        "band_key", F.col(id_col).alias("a")
     )
-    return docs.unionByName(mutated)
+    o_side = sized.filter(F.col("side") == "o").select(
+        "band_key", F.col(id_col).alias("b")
+    )
+    # new x old: NO id inequality — re-ingesting a doc already in the
+    # index must collide with its own entry (idempotence)
+    cand_no = n_side.join(o_side, "band_key").select("a", "b").distinct()
+    cand_nn = (
+        n_side.join(
+            n_side.select("band_key", F.col("a").alias("b")), "band_key"
+        )
+        .filter(F.col("a") > F.col("b"))  # a = the larger (droppable) side
+        .select("a", "b")
+        .distinct()
+    )
+    sh_new = batch.select(
+        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    if persist:
+        sh_new = sh_new.persist()
+        if handles is not None:
+            handles.append(sh_new)
+    sh_old = corpus.select(
+        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    def verify(cands: DataFrame, right: DataFrame) -> DataFrame:
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cands.join(
+                sh_new.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
+            )
+            .join(
+                right.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b"
+            )
+            .filter(inter / union >= threshold)
+            .select("a")
+            .distinct()
+        )
+
+    dup_index = verify(cand_no, sh_old).withColumn("src_i", F.lit(1))
+    dup_batch = verify(cand_nn, sh_new).withColumn("src_b", F.lit(1))
+    return (
+        batch.select(id_col)
+        .join(dup_index.withColumnRenamed("a", id_col), id_col, "left")
+        .join(dup_batch.withColumnRenamed("a", id_col), id_col, "left")
+        .select(
+            id_col,
+            (F.col("src_i").isNull() & F.col("src_b").isNull()).alias("keep"),
+            F.when(F.col("src_i").isNotNull(), F.lit("index"))
+            .when(F.col("src_b").isNotNull(), F.lit("batch"))
+            .alias("dup_src"),
+        )
+    )
+
+
+def incremental_index_delta(
+    decisions: DataFrame, new_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature rows to APPEND to the index after a batch run: survivors
+    only. Appending only survivors keeps the index one-entry-per-kept-doc
+    and makes re-running the identical batch a no-op (all 'index' dups)."""
+    kept = decisions.filter(F.col("keep")).select(id_col)
+    return new_sigs.join(kept, id_col)

@@ -540,3 +540,72 @@ def test_simhash_degenerate_bucket_guard(spark):
     assert dedup.simhash_near_duplicates(df, max_bucket=10).count() == 0
     # cap above it: all C(30,2) identical pairs come back (hamming 0)
     assert dedup.simhash_near_duplicates(df, max_bucket=100).count() == 435
+
+
+def _incr_corpus(spark):
+    """Tiny deterministic corpus for the incremental-index tests: distinct
+    12-word documents (word vocabulary disjoint across docs, so no
+    accidental cross-dups)."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(8)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_decisions(spark, tmp_path):
+    """Batch 2 vs batch 1's persisted signature index: index dups flagged
+    'index', within-batch dups flagged 'batch' (greedy smaller-id-wins),
+    fresh docs kept."""
+    docs = _incr_corpus(spark)
+    old = docs.filter(F.col("doc_id") < 4)          # ingested: ids 0-3
+    fresh = docs.filter(F.col("doc_id") >= 4)       # new content: ids 4-7
+    batch = (
+        fresh
+        # near-dup of an indexed doc (drop last word of doc 1) at id 101
+        .unionByName(
+            dedup.word_dropped_mutants(docs.filter(F.col("doc_id") == 1), id_offset=100)
+        )
+        # near-dup of fresh doc 5 at id 205 (batch dup, 205 > 5)
+        .unionByName(
+            dedup.word_dropped_mutants(docs.filter(F.col("doc_id") == 5), id_offset=200)
+        )
+    )
+    idx = str(tmp_path / "index")
+    dedup.minhash_signatures(old).write.parquet(idx)
+    out = dedup.incremental_minhash_dedup(
+        batch, spark.read.parquet(idx), old
+    )
+    got = {r.doc_id: (r.keep, r.dup_src) for r in out.collect()}
+    assert got[101] == (False, "index")
+    assert got[205] == (False, "batch")
+    for i in (4, 5, 6, 7):
+        assert got[i] == (True, None)
+    assert len(got) == 6
+
+
+def test_incremental_index_append_idempotent(spark, tmp_path):
+    """Appending the survivors' signature delta to the index makes
+    re-ingesting the identical batch a no-op: every doc collides with its
+    own index entry (exact dup, jaccard 1000) and nothing is kept."""
+    docs = _incr_corpus(spark)
+    old = docs.filter(F.col("doc_id") < 4)
+    batch = docs.filter(F.col("doc_id") >= 4)
+    idx = str(tmp_path / "index")
+    dedup.minhash_signatures(old).write.parquet(idx)
+
+    sigs = dedup.minhash_signatures(batch)
+    first = dedup.incremental_minhash_dedup(batch, spark.read.parquet(idx), old)
+    assert all(r.keep for r in first.collect())
+    # append the delta (survivors only) — the daily pipeline's index write
+    delta = dedup.incremental_index_delta(first, sigs)
+    assert delta.count() == 4
+    delta.write.mode("append").parquet(idx)
+
+    corpus2 = old.unionByName(batch)  # ingested corpus now includes batch
+    second = dedup.incremental_minhash_dedup(
+        batch, spark.read.parquet(idx), corpus2
+    )
+    got = {r.doc_id: (r.keep, r.dup_src) for r in second.collect()}
+    assert got == {i: (False, "index") for i in (4, 5, 6, 7)}
+    # delta of the idempotent re-run is empty: the index never grows on replay
+    assert dedup.incremental_index_delta(second, sigs).count() == 0
