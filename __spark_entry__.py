@@ -862,6 +862,29 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (audiocodec: pure-Python RIFF/WAVE PCM parser):
+    deterministic synthetic 8/16-bit mono/stereo WAVs are materialized per
+    doc_id in a distributed mapInPandas (sample value = closed-form in
+    (doc_id, frame, channel)), then decoded by the same
+    `extract_audio_features` operator a production binary column takes.
+    The oracle recomputes sample_rate/channels/bits/n_samples and the
+    exact per-channel sample sums in closed-form SQL — a wrong decode
+    (sign mixup, channel de-interleave error, header misparse)
+    hash-fails."""
+    from openccnet_spark.operators.multimodal import (
+        extract_audio_features,
+        with_synth_audio_payload,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 5)
+    feats = extract_audio_features(with_synth_audio_payload(docs))
+    return feats.select(
+        "doc_id", "format", "sample_rate", "channels", "bits", "n_samples",
+        "sum_ch0", "sum_ch1",
+    )
+
+
 #: (case_id, op, input, expected) for the St/Ts char-only goldens (O10)
 _ST_TS_GOLDENS = [
     (0, "st", "发", "發"),
@@ -1177,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": _armed(_q_quality_quantiles),
         "multimodal_features": _armed(_q_multimodal_features),
         "multimodal_decode": _armed(_q_multimodal_decode),
+        "multimodal_audio": _armed(_q_multimodal_audio),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1404,6 +1428,39 @@ FROM imgs i
 JOIN sums r ON r.doc_id = i.doc_id AND r.c = 0
 LEFT JOIN sums g ON g.doc_id = i.doc_id AND g.c = 1
 LEFT JOIN sums b ON b.doc_id = i.doc_id AND b.c = 2
+""",
+        # closed-form replay of multimodal.synth_audio_payload + decode:
+        # metadata from doc_id, per-channel sums by folding the sample
+        # formula over a bounded (frame, channel) grid. Mono replicates
+        # channel 0 (channel_sums contract, like gray images).
+        "multimodal_audio": """
+WITH au AS (
+  SELECT doc_id,
+         (200 + doc_id % 331)::BIGINT AS n_samples,
+         (8000 + (doc_id % 5) * 1000)::INT AS sample_rate,
+         (1 + doc_id % 2)::INT AS channels,
+         (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)::INT AS bits
+  FROM documents WHERE doc_id % 11 = 5
+),
+sums AS (
+  SELECT a.doc_id, c.c,
+         sum(CASE WHEN a.bits = 8
+                  THEN (a.doc_id * 13 + 7 * i.i + 11 * c.c) % 256
+                  ELSE (a.doc_id * 13 + 7 * i.i + 11 * c.c) % 4096 - 2048
+             END)::BIGINT AS s
+  FROM au a
+  CROSS JOIN generate_series(0, 530) AS i(i)
+  CROSS JOIN generate_series(0, 1) AS c(c)
+  WHERE i.i < a.n_samples AND c.c < a.channels
+  GROUP BY 1, 2
+)
+SELECT a.doc_id, 'wav' AS format, a.sample_rate, a.channels, a.bits,
+       a.n_samples,
+       s0.s AS sum_ch0,
+       coalesce(s1.s, s0.s) AS sum_ch1
+FROM au a
+JOIN sums s0 ON s0.doc_id = a.doc_id AND s0.c = 0
+LEFT JOIN sums s1 ON s1.doc_id = a.doc_id AND s1.c = 1
 """,
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],

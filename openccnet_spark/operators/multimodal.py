@@ -1,4 +1,4 @@
-"""Multimodal columns: opaque binary payloads + real image decode.
+"""Multimodal columns: opaque binary payloads + real image & audio decode.
 
 Image/audio/video payloads are ``binary`` columns with a small typed
 metadata struct. Feature extraction is a narrow ``mapInPandas`` pass: the
@@ -6,10 +6,12 @@ payload is sniffed by magic and, for PNG/BMP, decoded with the repo's
 self-contained pure-Python codec (``openccnet_spark.imagecodec`` — zlib
 inflate + all five PNG filters + palette/gray/alpha modes, BMP BI_RGB),
 emitting real width/height/channels/mode plus exact per-channel pixel
-sums. Payloads that are not a supported image (audio, video, arbitrary
-blobs) degrade honestly to byte-level features with ``format='opaque'``
-and NULL image fields — a documented fallback, not a stub; video
-frame-sampling keeps its plumbing-only contract below.
+sums; RIFF/WAVE PCM payloads decode via ``openccnet_spark.audiocodec``
+(8/16-bit, any channel count), emitting sample_rate/channels/bits/
+n_samples plus exact per-channel sample sums. Payloads that are neither
+(video, arbitrary blobs) degrade honestly to byte-level features with
+``format='opaque'`` and NULL media fields — a documented fallback, not a
+stub; video frame-sampling keeps its plumbing-only contract below.
 
 Scale notes: payloads never shuffle — extraction is narrow over the scan;
 the output is a slim typed frame that IS safe to shuffle/join downstream.
@@ -25,11 +27,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..audiocodec import AudioDecodeError, decode_audio, encode_wav
 from ..imagecodec import ImageDecodeError, decode_image, encode_bmp, encode_png
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, checksum long, format string, mode string, "
     "width int, height int, channels int, sum_r long, sum_g long, sum_b long"
+)
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum long, format string, "
+    "sample_rate int, channels int, bits int, n_samples long, "
+    "sum_ch0 long, sum_ch1 long"
 )
 
 
@@ -131,6 +140,86 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic synthetic WAV for ``doc_id``: sample rate, channel
+    count, bit depth, length and every sample value are closed-form
+    functions of ``doc_id``, so an oracle recomputes the decoded metadata
+    and exact per-channel sums in pure SQL (see __spark_entry__
+    ``multimodal_audio``). Sample formula (frame i, channel c):
+
+        16-bit: v = ((doc_id*13 + 7*i + 11*c) mod 4096) - 2048   (signed)
+         8-bit: v =  (doc_id*13 + 7*i + 11*c) mod 256            (unsigned)
+    """
+    n = 200 + doc_id % 331
+    rate = 8000 + (doc_id % 5) * 1000
+    channels = 1 + doc_id % 2
+    bits = 8 if doc_id % 3 == 0 else 16
+    base = doc_id * 13
+    samples = []
+    for i in range(n):
+        vi = base + 7 * i
+        for c in range(channels):
+            v = vi + 11 * c
+            samples.append(v % 256 if bits == 8 else (v % 4096) - 2048)
+    return encode_wav(rate, channels, bits, samples)
+
+
+def with_synth_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Narrow mapInPandas pass materializing ``synth_audio_payload`` per id.
+    Distributed — no driver-side audio building, no shuffle."""
+
+    def _synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [synth_audio_payload(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+def _audio_features_one(doc_id, payload: bytes) -> tuple:
+    n = len(payload)
+    crc = zlib.crc32(payload)
+    try:
+        au = decode_audio(payload)
+    except AudioDecodeError:
+        return (doc_id, n, crc, "opaque", None, None, None, None, None, None)
+    s0, s1 = au.channel_sums()
+    return (
+        doc_id, n, crc, au.format,
+        au.sample_rate, au.channels, au.bits, au.n_samples, s0, s1,
+    )
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Narrow mapInPandas pass: payload -> decoded audio features.
+
+    Same shape as ``extract_image_features``: one Arrow round-trip, no
+    shuffle, real RIFF/WAVE PCM decode (audiocodec), ``opaque`` fallback
+    with NULL audio fields for payloads that are not supported audio.
+    Output is a slim typed frame safe to shuffle/join downstream."""
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = [
+                _audio_features_one(did, p if p is not None else b"")
+                for did, p in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_bytes", "checksum", "format",
+                    "sample_rate", "channels", "bits", "n_samples",
+                    "sum_ch0", "sum_ch1",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_extract, AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
