@@ -278,6 +278,40 @@ def _scaled_embeddings(spark, sf_dir: str, mult: int):
     return out
 
 
+def _emb_lsh_candidate_pairs(spark, sf_dir: str, mult: int) -> int:
+    """Distinct post-guard candidate-pair count of the dedup_embedding_lsh
+    family input at ``mult`` — the diagnostic for its x6 per-row ratio:
+    if pairs grow ~linearly (~mult x), the verify stage's work is linear
+    and a drifting ratio is tenant noise; superlinear growth here would
+    mean the corpus shape is densifying buckets (a real scale concern).
+    Counted on ids only (vectors projected away before the self-join)."""
+    from pyspark.sql import functions as F
+
+    from openccnet_spark.operators.dedup import oversized_bucket_filter
+    from openccnet_spark.operators.similarity import lsh_tagged_frame
+
+    emb = _scaled_embeddings(spark, sf_dir, mult)
+    doubled = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 50_000_000))
+    tagged = (
+        lsh_tagged_frame(doubled, "vec_id", "embedding", 64)
+        .select("vec_id", "bucket")
+        .persist()
+    )
+    try:
+        sized = oversized_bucket_filter(tagged, "bucket")
+        a = sized.select("bucket", F.col("vec_id").alias("a"))
+        b = sized.select("bucket", F.col("vec_id").alias("b"))
+        return (
+            a.join(b, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+    finally:
+        tagged.unpersist()
+
+
 def _scale_family_queries():
     """(name, fn(spark, sf_dir, mult) -> DataFrame) for the heavy dedup/
     similarity operators, at mult x their 1x bench inputs."""
@@ -618,6 +652,12 @@ def main() -> int:
             # perrow ~1.0 = linear growth; > 1 = superlinear (a quadratic
             # join or a guard carrying the load would show here)
             scale_family[name] = round(t_m / (FAMILY_MULT * t1), 2)
+        # diagnostic (untimed): candidate-pair volume behind the embedding
+        # LSH family ratio — adjudicates ratio drift (noise vs real growth)
+        emb_lsh_pairs = {
+            "x1": _emb_lsh_candidate_pairs(spark, SF_DIR, 1),
+            f"x{FAMILY_MULT}": _emb_lsh_candidate_pairs(spark, SF_DIR, FAMILY_MULT),
+        }
         spark.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -672,6 +712,10 @@ def main() -> int:
                 # dedup/similarity operators (1.0 = perfectly linear)
                 "dedup_scale_mult": FAMILY_MULT,
                 "scale_family_perrow": scale_family,
+                # post-guard candidate pairs of the embedding-LSH family at
+                # x1/x6: near-linear growth = verify work is linear, and a
+                # drifting per-row ratio is window noise, not plan decay
+                "emb_lsh_candidate_pairs": emb_lsh_pairs,
                 # propagation/star iteration counts per family input (the
                 # per-row ratios above are only comparable when the round
                 # counts are too — O(diameter) vs O(log n) is data shape)

@@ -133,8 +133,14 @@ def lsh_bucket_col(vec_col, planes: np.ndarray, table: int):
 def lsh_tagged_frame(
     df: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> DataFrame:
-    """(id, vector, bucket) exploded over all hash tables, computed in ONE
-    vectorized Arrow stage instead of the equivalent JVM expression tree.
+    """(id, vector, norm, bucket) exploded over all hash tables, computed
+    in ONE vectorized Arrow stage instead of the equivalent JVM tree.
+
+    ``norm`` is the vector's fold-ordered float64 norm (np.cumsum of
+    squares == the ``_norm`` JVM fold == the oracle's ``sql_norm`` —
+    bit-identical), precomputed ONCE per vector so the per-candidate-pair
+    cosine downstream is dot/(na*nb): one 64-element fold per pair instead
+    of three (the r5 `dedup_embedding_lsh` x6 watch item's named fix).
 
     The expression form (``lsh_bucket_col`` x N_TABLES, kept for the
     oracle's documentation of the fold) builds a ~4,096-literal tree
@@ -161,6 +167,9 @@ def lsh_tagged_frame(
                 continue
             xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n = len(xs)
+            # fold-ordered norm: cumsum accumulates left-to-right like the
+            # F.aggregate fold / the oracle's sql_norm — bit-identical
+            norms = np.sqrt(np.cumsum(xs * xs, axis=1)[:, -1])
             keys = np.empty((n_tables, n), dtype=np.int64)
             for t in range(n_tables):
                 prods = xs[:, None, :] * planes[t][None, :, :]
@@ -173,10 +182,17 @@ def lsh_tagged_frame(
             buckets = [
                 f"{t}_{keys[t, i]}" for t in range(n_tables) for i in range(n)
             ]
-            yield pd.DataFrame({id_col: ids, vec_col: vecs, "bucket": buckets})
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    vec_col: vecs,
+                    "norm": np.tile(norms, n_tables),
+                    "bucket": buckets,
+                }
+            )
 
     return df.select(id_col, vec_col).mapInPandas(
-        _tag, f"{id_col} long, {vec_col} {vec_type}, bucket string"
+        _tag, f"{id_col} long, {vec_col} {vec_type}, norm double, bucket string"
     )
 
 
@@ -205,9 +221,13 @@ def lsh_ann_topk(
             handles.append(tagged)
     q = lsh_tagged_frame(
         df.filter(F.col(id_col).isin(list(query_ids))), id_col, vec_col, dim
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"), "bucket",
+    )
     c = tagged.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        F.col("norm").alias("nn"), "bucket",
     )
     # Score BEFORE distinct: a pair can surface from up to N_TABLES buckets,
     # and deduping on (query_id, qv, neighbor_id, nv) would push two 64-float
@@ -216,10 +236,16 @@ def lsh_ann_topk(
     # cos_milli and collapse under a scalar-only distinct — the exchange
     # carries 3 scalars at the cost of <= N_TABLES recomputes of a cheap
     # JVM fold (the same shape dedup.lsh_candidate_pairs already uses).
+    # carried-norm cosine: dot/(qn*nn) — the norms were folded once per
+    # vector in the Arrow stage (bit-identical to the inline _norm fold),
+    # so each candidate pair costs ONE 64-element fold instead of three
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_milli", F.floor(cosine_col("qv", "nv") * 1000).cast("long"))
+        .withColumn(
+            "cos_milli",
+            F.floor(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")) * 1000).cast("long"),
+        )
         .select("query_id", "neighbor_id", "cos_milli")
         .distinct()
     )
@@ -629,17 +655,29 @@ def lsh_near_duplicates(
     # en masse — would otherwise re-create the O(n^2) join this operator
     # exists to avoid. Aggregate + broadcast anti-join, not a sort-window.
     sized = oversized_bucket_filter(tagged, "bucket")
-    a = sized.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    b = sized.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    a = sized.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"), "bucket",
+    )
+    b = sized.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"), "bucket",
+    )
     # score, THEN threshold-filter, THEN distinct: cosine is deterministic,
     # so the <= N_TABLES duplicate candidate rows of a pair collapse under a
     # scalar-only distinct — the hash exchange carries (a, b, cos_milli),
     # never the two ~1 KB embedding arrays, and the filter has already
-    # discarded the non-duplicate bulk before anything shuffles.
+    # discarded the non-duplicate bulk before anything shuffles. The
+    # carried norms (tagged once per vector in the Arrow stage) make the
+    # per-pair cosine dot/(na*nb) — one fold, not three; bit-identical to
+    # the oracle's inline sql_norm because cumsum == the fold.
     return (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_milli", F.floor(cosine_col("va", "vb") * 1000).cast("long"))
+        .withColumn(
+            "cos_milli",
+            F.floor(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1000).cast("long"),
+        )
         .filter(F.col("cos_milli") >= threshold_milli)
         .select("a", "b", "cos_milli")
         .distinct()
