@@ -676,6 +676,21 @@ def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def _q_similarity_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``sample_mod=4`` — the knob that bounds training cost as
+    the corpus grows (train on the deterministic id%4==0 slice, index and
+    search the FULL corpus). This is the 100 TB story's load-bearing cost
+    bound, exercised end-to-end: the oracle replays the sampled training
+    bit-exactly (same slice, same integer partial sums), so a knob
+    regression hash-fails like any other query."""
+    from openccnet_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
+        sample_mod=4,
+    )
+
+
 def _q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of BOTH approximate indexes (hyperplane-LSH ANN and IVF)
     against the exact top-k, as driver-checked values: per query,
@@ -1193,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _armed(_q_similarity_topk),
         "similarity_ann": _armed(_q_similarity_ann),
         "similarity_ivf": _armed(_q_similarity_ivf),
+        "similarity_ivf_sampled": _armed(_q_similarity_ivf_sampled),
         "similarity_recall": _armed(_q_similarity_recall),
         "similarity_recall_planted": _armed(_q_similarity_recall_planted),
         "textstats": _armed(_q_textstats),
@@ -1599,6 +1615,7 @@ def _optional_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, builder in (
         ("similarity_ivf", _similarity_ivf_oracle),
+        ("similarity_ivf_sampled", lambda: _similarity_ivf_oracle(sample_mod=4)),
         ("similarity_recall", _similarity_recall_oracle),
         ("similarity_recall_planted", _similarity_recall_planted_oracle),
     ):
@@ -1933,7 +1950,9 @@ SELECT query_id, neighbor_id, cos_milli, rank::INT AS rank FROM r WHERE rank <= 
 """
 
 
-def _similarity_ivf_oracle(src: str = "embeddings", planted: bool = False) -> str:
+def _similarity_ivf_oracle(
+    src: str = "embeddings", planted: bool = False, sample_mod: int = 1
+) -> str:
     """Rebuild the IVF index in DuckDB: the centroids come from
     `ivf_centroids_replay` — the bit-exact numpy replay of the DISTRIBUTED
     trainer (quantized order-independent int sums + fold-ordered per-row
@@ -1967,7 +1986,9 @@ def _similarity_ivf_oracle(src: str = "embeddings", planted: bool = False) -> st
         # zeroed-last-element copies at vec_id+100000)
         ids = ids + [i + 100000 for i in ids]
         vecs = vecs + [v[:63] + [0.0] for v in vecs]
-    centroids = ivf_centroids_replay(ids, np.array(vecs, dtype=np.float64))
+    centroids = ivf_centroids_replay(
+        ids, np.array(vecs, dtype=np.float64), sample_mod=sample_mod
+    )
 
     def dot(i: int) -> str:
         terms = " + ".join(

@@ -37,7 +37,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
-    got = q(spark, SF_DIR).toPandas()
+    df = q(spark, SF_DIR)
+    got = df.toPandas()
+    # release operator-internal persists so cached frames don't pile up
+    # across the shared test session (the bench does the same)
+    for h in getattr(df, "_persist_handles", ()):
+        h.unpersist()
     if sql is None:
         # driver records a rows-only check for oracle-less queries
         assert len(got) > 0, f"{name}: rows-only query returned nothing"
