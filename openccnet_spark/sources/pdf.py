@@ -1280,36 +1280,75 @@ def _gutter_groups(block_runs: list[tuple], min_gutter: float) -> list[list[floa
     return groups
 
 
-def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> str | None:
-    """Reading-order text from positioned runs; None when no column
-    structure is detected anywhere on the page (caller falls back to
-    content order).
+#: XY-cut recursion depth cap: title-over-columns is depth 1, a column
+#: block / full-width figure / more columns page is depth 2, sub-columns
+#: inside a column is depth 3 — real documents don't nest deeper, and the
+#: cap bounds worst-case work on adversarial run soups
+XY_CUT_MAX_DEPTH = 4
 
-    One-level XY-cut: rows (baselines, y quantized, top-to-bottom — PDF y
-    grows upward) are first segmented by FULL-WIDTH spanner rows (a run
-    wider than 60%% of the page's text width — titles, abstracts,
-    headers), which would otherwise bridge the gutter and hide the
-    columns below them. Each row block between spanners gets its own
-    x-band gutter detection: >= 2 bands emit column after column
-    (top-to-bottom within each), otherwise the block emits in row order.
-    Blocks and spanners emit in top-to-bottom page order.
+#: a vertical whitespace band this many times the region's median line
+#: spacing is a layout break (figure/table hole, section gap), not
+#: paragraph leading
+_VGAP_FACTOR = 1.9
+
+
+def _ygap_bands(block_rows: list[list[tuple]]) -> list[list[list[tuple]]]:
+    """Split top-to-bottom rows at vertical whitespace bands clearly wider
+    than the region's own line spacing (gap > _VGAP_FACTOR x the median
+    consecutive-baseline gap). Returns one band or several; never reorders
+    rows. This is the horizontal cut of the XY-cut — it isolates a
+    NON-spanning element with clear space around it (a centered figure
+    caption narrower than 60%% of the region bridges no gutter and is no
+    spanner, yet must still segment the column blocks above and below)."""
+    if len(block_rows) < 3:
+        return [block_rows]
+    ys = [rrs[0][1] for rrs in block_rows]  # descending (top-to-bottom)
+    gaps = [ys[i] - ys[i + 1] for i in range(len(ys) - 1)]
+    med = sorted(gaps)[len(gaps) // 2]
+    if med <= 0:
+        return [block_rows]
+    bands: list[list[list[tuple]]] = [[block_rows[0]]]
+    for i, rrs in enumerate(block_rows[1:]):
+        if gaps[i] > _VGAP_FACTOR * med:
+            bands.append([rrs])
+        else:
+            bands[-1].append(rrs)
+    return bands
+
+
+def _xy_region(
+    block_rows: list[list[tuple]], min_gutter: float, depth: int
+) -> tuple[list[str], bool]:
+    """Recursive XY-cut over one region's rows (top-to-bottom lists of
+    runs). Returns (reading-order lines, found_columns).
+
+    Per level: (1) segment at FULL-WIDTH spanner rows (a run wider than
+    60%% of the REGION's text width — titles, abstracts, captions that do
+    span), which bridge gutters without any whitespace signal; (2) per
+    block, cut on vertical whitespace bands (``_ygap_bands`` — isolates
+    narrow centered elements between column blocks); (3) per band, cut on
+    x gutters (>= 2 merged x-intervals separated by ``min_gutter``) into
+    columns and RECURSE into each column (nested layouts: a column block
+    above a figure above more columns, sub-columns inside a column);
+    (4) no cut -> emit rows in order. ``found_columns`` is set only by an
+    actual x split — y cuts alone never reorder anything, so a page
+    without column structure still reports None and keeps content order.
     """
-    txt = [r for r in runs if r[2].strip()]
-    if not txt:
-        return None
-    by_line: dict[float, list[tuple]] = {}
-    for r in txt:
-        by_line.setdefault(round(r[1], 1), []).append(r)
-    rows = [by_line[y] for y in sorted(by_line, reverse=True)]
-    page_w = max(r[0] + r[3] for r in txt) - min(r[0] for r in txt)
+    runs = [r for rrs in block_rows for r in rrs]
+    if not runs:
+        return [], False
+    if depth <= 0:
+        return [_render_line(rrs) for rrs in block_rows], False
+    import bisect
+
+    width = max(r[0] + r[3] for r in runs) - min(r[0] for r in runs)
 
     def is_spanner(rrs: list[tuple]) -> bool:
-        return any(r[3] > 0.6 * page_w for r in rrs)
+        return any(r[3] > 0.6 * width for r in rrs)
 
-    # segment rows into blocks at spanner rows
     blocks: list[tuple[bool, list[list[tuple]]]] = []
     cur: list[list[tuple]] = []
-    for rrs in rows:
+    for rrs in block_rows:
         if is_spanner(rrs):
             if cur:
                 blocks.append((False, cur))
@@ -1320,28 +1359,66 @@ def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> s
     if cur:
         blocks.append((False, cur))
 
-    import bisect
-
-    any_columns = False
     out: list[str] = []
-    for spanner, block_rows in blocks:
-        block_runs = [r for rrs in block_rows for r in rrs]
-        groups = [] if spanner else _gutter_groups(block_runs, min_gutter)
-        if len(groups) < 2:
-            out.extend(_render_line(rrs) for rrs in block_rows)
+    found = False
+    for spanner, rows in blocks:
+        if spanner:
+            out.extend(_render_line(rrs) for rrs in rows)
             continue
-        any_columns = True
-        starts = [g[0] for g in groups]
-        cols: list[list[list[tuple]]] = [[] for _ in groups]  # col -> rows
-        for rrs in block_rows:
-            per_col: dict[int, list[tuple]] = {}
-            for r in rrs:
-                i = max(bisect.bisect_right(starts, r[0]) - 1, 0)
-                per_col.setdefault(i, []).append(r)
-            for i, col_runs in per_col.items():
-                cols[i].append(col_runs)
-        for col in cols:
-            out.extend(_render_line(rrs) for rrs in col)
+        bands = _ygap_bands(rows)
+        for band in bands:
+            groups = _gutter_groups([r for rrs in band for r in rrs], min_gutter)
+            if len(groups) < 2:
+                if len(bands) > 1:
+                    # the y-split made strict progress (band ⊂ rows):
+                    # re-examine the band one level down — it may hold its
+                    # own spanner/column structure at band-local width
+                    sub, f = _xy_region(band, min_gutter, depth - 1)
+                    out.extend(sub)
+                    found = found or f
+                else:
+                    out.extend(_render_line(rrs) for rrs in band)
+                continue
+            found = True
+            starts = [g[0] for g in groups]
+            cols: list[list[list[tuple]]] = [[] for _ in groups]  # col -> rows
+            for rrs in band:
+                per_col: dict[int, list[tuple]] = {}
+                for r in rrs:
+                    i = max(bisect.bisect_right(starts, r[0]) - 1, 0)
+                    per_col.setdefault(i, []).append(r)
+                for i, col_runs in per_col.items():
+                    cols[i].append(col_runs)
+            for col in cols:
+                sub, f = _xy_region(col, min_gutter, depth - 1)
+                out.extend(sub)
+                found = found or f
+    return out, found
+
+
+def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> str | None:
+    """Reading-order text from positioned runs; None when no column
+    structure is detected anywhere on the page (caller falls back to
+    content order).
+
+    Recursive XY-cut (``_xy_region``, depth-capped): rows (baselines, y
+    quantized, top-to-bottom — PDF y grows upward) are segmented by
+    full-width spanner rows and by vertical whitespace bands, then split
+    at x gutters into columns, recursively — so nested layouts (column
+    block above a full-width or narrow centered figure caption above more
+    columns; sub-columns within a column) extract in reading order. A
+    layout with NO whitespace or width signal at a block boundary (e.g. a
+    narrow caption spaced exactly like body lines) is inherently
+    ambiguous and keeps the x-band order — heuristic limit, documented.
+    """
+    txt = [r for r in runs if r[2].strip()]
+    if not txt:
+        return None
+    by_line: dict[float, list[tuple]] = {}
+    for r in txt:
+        by_line.setdefault(round(r[1], 1), []).append(r)
+    rows = [by_line[y] for y in sorted(by_line, reverse=True)]
+    out, any_columns = _xy_region(rows, min_gutter, XY_CUT_MAX_DEPTH)
     if not any_columns:
         return None
     return "\n".join(out)

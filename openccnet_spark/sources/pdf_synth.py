@@ -138,6 +138,24 @@ def build_pdf_two_column(
     return build_pdf([b"\n".join(ops)], cjk=cjk, compress=compress)
 
 
+def build_pdf_positioned(
+    items: list[tuple[float, float, str]],
+    cjk: bool = True,
+    compress: bool = True,
+) -> bytes:
+    """One-page PDF placing each (x, y, text) run with absolute Tm
+    positioning, in the GIVEN (deliberately arbitrary) content-stream
+    order — the general fixture for layout-analysis tests: nested
+    column/caption/column pages, scrambled emission order, anything
+    ``build_pdf_two_column``'s row-interleave shape can't express."""
+    ops = [b"BT /F1 12 Tf"]
+    for x, y, text in items:
+        ops.append(b"1 0 0 1 %d %d Tm" % (int(x), int(y)))
+        ops.append(_show_op(text, cjk))
+    ops.append(b"ET")
+    return build_pdf([b"\n".join(ops)], cjk=cjk, compress=compress)
+
+
 def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:
     """One PDF with the given pages; each page is a list of text lines.
 

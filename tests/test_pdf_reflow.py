@@ -799,3 +799,54 @@ def test_two_column_with_spanning_title():
     data = build_pdf_two_column([left, right], title_lines=title)
     cols = extract_pdf_text(data, column_layout=True).strip().splitlines()
     assert cols == title + left + right, cols
+
+
+def test_nested_layout_caption_between_column_blocks():
+    """Recursive XY-cut, vertical-band case: a NARROW centered figure
+    caption (no spanner — it bridges no gutter and is under 60% of page
+    width) sits between two two-column blocks, separated by clear
+    vertical whitespace. The y-cut must isolate the three bands so each
+    column block reads column-by-column: title, block-A left, block-A
+    right, caption, block-B left, block-B right."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_positioned
+
+    title = "這是一個橫跨整頁寬度的非常長的總標題共二十個字"  # 20 chars: spanner
+    a_left = ["甲欄第一行", "甲欄第二行", "甲欄第三行"]
+    a_right = ["乙欄第一行", "乙欄第二行", "乙欄第三行"]
+    caption = "圖一說明"  # 4 chars at x=220: inside the gutter, not a spanner
+    b_left = ["丙欄第一行", "丙欄第二行", "丙欄第三行"]
+    b_right = ["丁欄第一行", "丁欄第二行", "丁欄第三行"]
+    items = [(72, 760.0, title)]
+    # content stream interleaves the columns row by row (worst case)
+    for i in range(3):
+        items.append((72, 720.0 - 14 * i, a_left[i]))
+        items.append((330, 720.0 - 14 * i, a_right[i]))
+    items.append((220, 650.0, caption))  # 42 pt above/below: y-band breaks
+    for i in range(3):
+        items.append((72, 608.0 - 14 * i, b_left[i]))
+        items.append((330, 608.0 - 14 * i, b_right[i]))
+    data = build_pdf_positioned(items)
+    got = extract_pdf_text(data, column_layout=True).strip().splitlines()
+    assert got == [title] + a_left + a_right + [caption] + b_left + b_right, got
+
+
+def test_nested_layout_subcolumns_inside_a_column():
+    """Recursive XY-cut, x-recursion case: the left top-level column holds
+    its own column-local header (a spanner only relative to the COLUMN's
+    width) above two sub-columns. Reading order: left header, sub-column
+    1, sub-column 2, then the right top-level column."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_positioned
+
+    header = "左欄標題佔滿整欄寬度哦"  # 11 chars = full left-column width
+    sub1 = ["子甲", "子乙"]
+    sub2 = ["丑甲", "丑乙"]
+    right = ["右邊第一行", "右邊第二行", "右邊第三行"]
+    items = [(72, 720.0, header)]
+    for i in range(2):
+        items.append((72, 706.0 - 14 * i, sub1[i]))
+        items.append((140, 706.0 - 14 * i, sub2[i]))
+    for i in range(3):
+        items.append((330, 720.0 - 14 * i, right[i]))
+    data = build_pdf_positioned(items)
+    got = extract_pdf_text(data, column_layout=True).strip().splitlines()
+    assert got == [header] + sub1 + sub2 + right, got
