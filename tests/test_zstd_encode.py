@@ -115,15 +115,16 @@ def test_cli_accepts_our_frames(tmp_path):
 )
 def test_reference_bundle_size_target(tmp_path):
     """Recompressing the reference bundle's own JSON payload must stay
-    within 1.5x of the reference's level-19 artifact, decode byte-exactly
-    through BOTH our decoder and the system CLI."""
+    within 1.3x of the reference's level-19 artifact (r6 measured 1.22
+    with Huffman literals + the rep/literal-cost parse), decoding
+    byte-exactly through BOTH our decoder and the system CLI."""
     ref = _REF_FIXTURE.read_bytes()
     data = decompress(ref)
     z = compress(data)
     assert decompress(z) == data
     assert _cli_decompress(z, tmp_path) == data
     ratio = len(z) / len(ref)
-    assert ratio <= 1.5, f"compressed {len(z)} vs reference {len(ref)} ({ratio:.2f}x)"
+    assert ratio <= 1.3, f"compressed {len(z)} vs reference {len(ref)} ({ratio:.2f}x)"
 
 
 def test_written_bundle_is_compressed(tmp_path):
