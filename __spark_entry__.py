@@ -900,6 +900,25 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode (videocodec: pure-Python GIF87a/89a LZW +
+    palette compositing): deterministic synthetic animated GIFs are
+    materialized per doc_id in a distributed mapInPandas (palette index =
+    (doc_id+3x+5y+7f) mod 16, channel value affine in the index), then
+    frame-sampled (every 2nd frame) and feature-extracted by
+    `sample_video_frames` — the same operator a production binary video
+    column takes. The oracle recomputes frame count/size and the exact
+    per-sampled-frame RGB channel sums in closed-form SQL, so a wrong LZW
+    decode, palette lookup, frame offset or sampling stride hash-fails."""
+    from openccnet_spark.operators.multimodal import (
+        sample_video_frames,
+        with_synth_video_payload,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 3)
+    return sample_video_frames(with_synth_video_payload(docs), every_n=2)
+
+
 #: (case_id, op, input, expected) for the St/Ts char-only goldens (O10)
 _ST_TS_GOLDENS = [
     (0, "st", "发", "發"),
@@ -1217,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _armed(_q_multimodal_features),
         "multimodal_decode": _armed(_q_multimodal_decode),
         "multimodal_audio": _armed(_q_multimodal_audio),
+        "multimodal_video": _armed(_q_multimodal_video),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1477,6 +1497,39 @@ SELECT a.doc_id, 'wav' AS format, a.sample_rate, a.channels, a.bits,
 FROM au a
 JOIN sums s0 ON s0.doc_id = a.doc_id AND s0.c = 0
 LEFT JOIN sums s1 ON s1.doc_id = a.doc_id AND s1.c = 1
+""",
+        # closed-form replay of multimodal.synth_video_payload + GIF decode
+        # + every-2nd-frame sampling: geometry/frame count from doc_id,
+        # per-frame RGB sums by folding palette(idx) over the (x, y) grid.
+        # Palette channels are affine-mod-256 in the index (17i, 29i, 43i).
+        "multimodal_video": """
+WITH vids AS (
+  SELECT doc_id,
+         (8 + doc_id % 9)::INT AS width,
+         (6 + doc_id % 5)::INT AS height,
+         (4 + doc_id % 7)::INT AS n_frames
+  FROM documents WHERE doc_id % 17 = 3
+),
+frames AS (
+  SELECT v.doc_id, v.width, v.height, v.n_frames, f.f::INT AS frame_idx
+  FROM vids v CROSS JOIN generate_series(0, 9) AS f(f)
+  WHERE f.f < v.n_frames AND f.f % 2 = 0
+),
+sums AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         sum((17 * ((fr.doc_id + 3 * x.x + 5 * y.y + 7 * fr.frame_idx) % 16)) % 256)::BIGINT AS sum_r,
+         sum((29 * ((fr.doc_id + 3 * x.x + 5 * y.y + 7 * fr.frame_idx) % 16)) % 256)::BIGINT AS sum_g,
+         sum((43 * ((fr.doc_id + 3 * x.x + 5 * y.y + 7 * fr.frame_idx) % 16)) % 256)::BIGINT AS sum_b
+  FROM frames fr
+  CROSS JOIN generate_series(0, 15) AS x(x)
+  CROSS JOIN generate_series(0, 9) AS y(y)
+  WHERE x.x < fr.width AND y.y < fr.height
+  GROUP BY 1, 2
+)
+SELECT fr.doc_id, 'gif' AS format, fr.n_frames, fr.width, fr.height,
+       fr.frame_idx, 4::INT AS delay_cs, s.sum_r, s.sum_g, s.sum_b
+FROM frames fr
+JOIN sums s ON s.doc_id = fr.doc_id AND s.frame_idx = fr.frame_idx
 """,
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],

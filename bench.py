@@ -615,10 +615,13 @@ def main() -> int:
             "broadcast_join", "window_first_order", "antijoin_resume",
             "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
+            "dedup_incremental",
             "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
-            "similarity_ivf", "similarity_recall", "textstats",
+            "similarity_ivf", "similarity_ivf_sampled", "similarity_recall",
+            "textstats",
             "vocab_topk", "quality_quantiles", "skew_join_priority",
             "pdf_reflow_convert", "office_convert", "multimodal_decode",
+            "multimodal_audio", "multimodal_video",
             "streaming_dedup_replay",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))

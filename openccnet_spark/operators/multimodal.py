@@ -224,9 +224,9 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: expand (doc_id, n_frames) into
-    sampled frame indexes WITHOUT decoding (pure column math); the decode
-    of selected frames would be a second gated mapInPandas. n_frames is
-    derived from payload length (no video codec ships here)."""
+    sampled frame indexes WITHOUT decoding (pure column math); the real
+    decode of selected frames is ``sample_video_frames`` below. n_frames
+    is derived from payload length (the decode-free plan shape)."""
     return (
         df.withColumn("n_frames", (F.length("payload") % 300 + 1).cast("int"))
         .withColumn(
@@ -235,3 +235,100 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+# -- video: real GIF frame decode + sampling ---------------------------------
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id long, format string, n_frames int, width int, height int, "
+    "frame_idx int, delay_cs int, sum_r long, sum_g long, sum_b long"
+)
+
+#: closed-form palette for synthetic GIF fixtures: channel values are
+#: affine in the palette index mod 256 (SQL-recomputable)
+_SYNTH_PALETTE = [((17 * i) % 256, (29 * i) % 256, (43 * i) % 256) for i in range(16)]
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Deterministic animated GIF for ``doc_id``: frame count, size and
+    every palette index are closed-form functions of ``doc_id``, so an
+    oracle recomputes per-sampled-frame channel sums in pure SQL (see
+    __spark_entry__ ``multimodal_video``). Index formula (frame f, x, y):
+
+        idx(f, x, y) = (doc_id + 3*x + 5*y + 7*f) mod 16
+    """
+    from ..videocodec import encode_gif
+
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 5
+    n_frames = 4 + doc_id % 7
+    frames = []
+    for f in range(n_frames):
+        base = doc_id + 7 * f
+        fr = bytearray(w * h)
+        i = 0
+        for y in range(h):
+            ry = base + 5 * y
+            for x in range(w):
+                fr[i] = (ry + 3 * x) % 16
+                i += 1
+        frames.append(bytes(fr))
+    return encode_gif(w, h, _SYNTH_PALETTE, frames, delay_cs=4)
+
+
+def with_synth_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Narrow mapInPandas pass materializing ``synth_video_payload`` per id."""
+
+    def _synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [synth_video_payload(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real frame sampling: decode the GIF payload, keep every ``every_n``-th
+    frame, emit per-frame features (exact RGB channel sums). One narrow
+    mapInPandas pass — payloads never shuffle. The stream is decoded once
+    and sampled from (GIF frames composite onto the prior frame, so
+    earlier frames must be decoded regardless; sampling saves the feature
+    work and the output volume, which is what grows downstream).
+    Non-video payloads degrade to one ``opaque`` row with NULL frame
+    fields."""
+    from ..videocodec import VideoDecodeError, decode_video
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    vid = decode_video(bytes(p) if p is not None else b"")
+                except VideoDecodeError:
+                    rows.append(
+                        (did, "opaque", None, None, None, None, None, None, None, None)
+                    )
+                    continue
+                for fr in vid.frames[::every_n]:
+                    r, g, b = fr.channel_sums()
+                    rows.append(
+                        (
+                            did, vid.format, len(vid.frames), vid.width,
+                            vid.height, fr.index, fr.delay_cs, r, g, b,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "n_frames", "width", "height",
+                    "frame_idx", "delay_cs", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_extract, VIDEO_FEATURE_SCHEMA)
