@@ -919,6 +919,58 @@ def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(with_synth_video_payload(docs), every_n=2)
 
 
+#: per-stratum sampling rates / token budgets for the curation queries —
+#: chosen so every code path is exercised at sf0.01: partially-filled
+#: strata (en, zh), a fully-kept stratum (fr), a small-budget stratum
+#: (es) and an absent stratum (de -> default/dropped)
+_STRAT_RATES_PPM = {"en": 200_000, "zh": 500_000, "ja": 800_000}
+_STRAT_DEFAULT_PPM = 100_000
+_TOKEN_BUDGETS = {"en": 6_000, "zh": 2_000, "fr": 99_999_999, "es": 500}
+
+
+def _q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style 13-gram overlap): the
+    'benchmark' table is the first 30 words of every doc_id % 37 == 5
+    document; any corpus document sharing a 13-gram with it is flagged
+    with its distinct-hit count. The benchmark n-gram set is broadcast —
+    the corpus (the 100 TB side) never shuffles; only hits (8-byte hash +
+    id) reach the per-document aggregate. Hashes are the cross-engine
+    md5-prefix family, so the oracle recomputes the full decision."""
+    from openccnet_spark.operators.curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 5).select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=13).select("doc_id", "n_hits")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sampling (domain-mixing
+    primitive): keep iff md5-keyed draw mod 1e6 falls under the stratum's
+    ppm rate; unknown strata take the default. Pure narrow filter — no
+    shuffle, no RNG — and the oracle replays the draw exactly."""
+    from openccnet_spark.operators.curation import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _STRAT_RATES_PPM, default_ppm=_STRAT_DEFAULT_PPM
+    ).select("doc_id", "lang", "sample_ppm")
+
+
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget prefix selection ("give me N tokens per
+    language, deterministically"): docs ordered by the 60-bit key, maximal
+    prefix with running token total <= budget. The Spark plan is the
+    bounded-domain histogram decomposition (cutoff bucket + boundary-only
+    exact window — no per-stratum global sort); the oracle is the naive
+    full-window spec, so the decomposition must equal it exactly."""
+    from openccnet_spark.operators.curation import budget_select
+
+    docs = _read(spark, sf_dir, "documents")
+    return budget_select(docs, _TOKEN_BUDGETS)
+
+
 #: (case_id, op, input, expected) for the St/Ts char-only goldens (O10)
 _ST_TS_GOLDENS = [
     (0, "st", "发", "發"),
@@ -1237,6 +1289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _armed(_q_multimodal_decode),
         "multimodal_audio": _armed(_q_multimodal_audio),
         "multimodal_video": _armed(_q_multimodal_video),
+        "decontaminate_ngram": _armed(_q_decontaminate_ngram),
+        "sample_stratified": _armed(_q_sample_stratified),
+        "budget_select": _armed(_q_budget_select),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1530,6 +1585,52 @@ SELECT fr.doc_id, 'gif' AS format, fr.n_frames, fr.width, fr.height,
        fr.frame_idx, 4::INT AS delay_cs, s.sum_r, s.sum_g, s.sum_b
 FROM frames fr
 JOIN sums s ON s.doc_id = fr.doc_id AND s.frame_idx = fr.frame_idx
+""",
+        # full replay of curation.decontaminate: same 13-grams, same
+        # md5-prefix 60-bit hashes, same distinct-hit counts
+        "decontaminate_ngram": """
+WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bench AS (SELECT string_split(text, ' ')[1:30] AS w
+          FROM documents WHERE doc_id % 37 = 5),
+bp AS (SELECT w, unnest(generate_series(1, len(w) - 12)) AS i FROM bench),
+bng AS (SELECT DISTINCT
+          ('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), 1, 15))::BIGINT AS ng
+        FROM bp),
+cp AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i FROM corpus),
+cng AS (SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(array_to_string(w[i:i+12], ' ')), 1, 15))::BIGINT AS ng
+        FROM cp)
+SELECT c.doc_id, count(*)::BIGINT AS n_hits
+FROM cng c JOIN bng b USING (ng)
+GROUP BY 1
+""",
+        # exact replay of the deterministic per-stratum Bernoulli draw
+        "sample_stratified": f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT % 1000000
+           AS sample_ppm
+  FROM documents
+)
+SELECT doc_id, lang, sample_ppm FROM d
+WHERE sample_ppm < CASE lang
+  {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES_PPM.items()))}
+  ELSE {_STRAT_DEFAULT_PPM} END
+""",
+        # the NAIVE full-window spec of budget_select — the Spark side's
+        # histogram/cutoff-bucket decomposition must equal it exactly
+        "budget_select": f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('budget:' || doc_id), 1, 15))::BIGINT AS hkey,
+         (CASE lang
+            {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_TOKEN_BUDGETS.items()))}
+            ELSE 0 END)::BIGINT AS budget
+  FROM documents
+),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY hkey, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
 """,
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],

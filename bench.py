@@ -622,6 +622,7 @@ def main() -> int:
             "vocab_topk", "quality_quantiles", "skew_join_priority",
             "pdf_reflow_convert", "office_convert", "multimodal_decode",
             "multimodal_audio", "multimodal_video",
+            "decontaminate_ngram", "sample_stratified", "budget_select",
             "streaming_dedup_replay",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))

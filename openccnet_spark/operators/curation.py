@@ -1,0 +1,241 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic stratified sampling, and per-stratum token-budget selection.
+
+These are the corpus-curation steps a production LLM pipeline runs after
+quality filtering and dedup (reference repo laisuk/OpenccNet has no
+counterpart — this module serves the LLM-pipeline brief, sibling of
+``dedup.py`` / ``textstats.py``):
+
+* ``decontaminate`` — flag corpus documents sharing any word n-gram with a
+  benchmark/eval table (GPT-3/PaLM-style 13-gram decontamination). The
+  benchmark side is tiny by nature and is **broadcast**, so the corpus —
+  the 100 TB side — is never shuffled: n-gram generation is a narrow
+  projection and the membership test a map-side hash join; only the rare
+  hits shuffle (8-byte hash + id) into the per-document count.
+* ``stratified_sample`` — keep each row iff a deterministic 60-bit md5
+  hash of its id, taken mod 1e6, falls under the stratum's ppm rate. Zero
+  shuffle, zero state: the exact shape of "sample 2% of English, 10% of
+  Thai" at any scale, reproducible across engines and reruns (the same
+  md5-prefix hash DuckDB and Python can recompute — see
+  ``dedup.simhash_signatures`` provenance note).
+* ``budget_select`` — take documents per stratum, in deterministic
+  hash order, until a token budget is filled ("give me 10B tokens per
+  language"). Implemented scale-first with the same bounded-domain
+  histogram trick as ``textstats.quality_quantiles_frame``: a map-side
+  combined per-(stratum, bucket) token histogram finds each stratum's
+  cutoff bucket (≤ n_buckets rows per stratum ever shuffle), docs in
+  buckets strictly below the cutoff are kept by a broadcast join, and
+  only the single boundary bucket per stratum — ~1/n_buckets of the data
+  — pays an exact cumulative-sum window. Results are identical to the
+  full per-stratum ordered window at any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ngram_hashes_col",
+    "decontaminate",
+    "key60_col",
+    "stratified_sample",
+    "budget_select",
+]
+
+
+def ngram_hashes_col(text_col: str, n: int) -> Column:
+    """Array of DISTINCT 60-bit hashes of the text's word ``n``-grams.
+
+    Hash = first 15 hex chars of md5(n-gram joined by ' ') — exactly
+    recomputable in DuckDB (``('0x'||substr(md5(g),1,15))::BIGINT``) and
+    Python, so decontamination is fully oracle-checkable.
+
+    The split is hoisted through the one-element ``transform`` binding
+    (``ws``): higher-order lambda bodies get no subexpression
+    elimination, so an inline ``split`` would re-split the document per
+    n-gram position (O(words²) — see dedup.shingles_col).
+    ``sequence(1, k)`` is guarded by the CASE: k < 1 would descend.
+    """
+    return F.expr(
+        f"""
+        element_at(transform(array(split({text_col}, ' ')), ws ->
+          CASE WHEN size(ws) >= {n}
+            THEN array_distinct(transform(
+                   sequence(1, size(ws) - {n} + 1),
+                   i -> CAST(conv(substr(md5(array_join(slice(ws, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT)))
+            ELSE CAST(array() AS array<bigint>)
+          END), 1)
+        """
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: ``(id_col, n_hits)`` for every
+    corpus document sharing ≥ 1 word ``n``-gram with any ``bench`` row.
+
+    ``n_hits`` counts the document's distinct contaminated n-grams. The
+    benchmark n-gram set (small by nature: eval sets are KBs–MBs against
+    a 100 TB corpus) is distinct-ed and **broadcast**; the corpus side is
+    a narrow explode into a map-side hash join — the corpus never
+    shuffles, and the join output (hits only) carries just the 8-byte
+    hash and the id into the final per-document aggregate.
+    """
+    bench_ngrams = (
+        bench.select(F.explode(ngram_hashes_col(bench_text_col, n)).alias("ng"))
+        .distinct()
+    )
+    corpus_ngrams = docs.select(
+        F.col(id_col), F.explode(ngram_hashes_col(text_col, n)).alias("ng")
+    )
+    return (
+        corpus_ngrams.join(F.broadcast(bench_ngrams), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def key60_col(prefix: str, id_col: str) -> Column:
+    """Deterministic 60-bit sampling/ordering key: md5 of ``prefix || id``,
+    top 15 hex chars — the cross-engine-reproducible hash family."""
+    return F.expr(
+        f"CAST(conv(substr(md5(concat('{prefix}', CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_ppm: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_ppm: int = 0,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff
+    ``key60(salt, id) % 1e6 < rates_ppm[stratum]`` (parts-per-million).
+
+    This is the domain/language-mixing primitive: no shuffle, no state,
+    no RNG — a pure narrow filter whose decision any engine (or a later
+    incremental run) reproduces exactly. Unknown strata fall back to
+    ``default_ppm``. Emits the input columns plus ``sample_ppm`` (the
+    row's draw) so downstream audits can verify the decision.
+    """
+    rate = None
+    for stratum, ppm in sorted(rates_ppm.items()):
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, F.lit(int(ppm))) if rate is None else rate.when(cond, F.lit(int(ppm)))
+    rate = F.lit(int(default_ppm)) if rate is None else rate.otherwise(F.lit(int(default_ppm)))
+    draw = F.pmod(key60_col(salt, id_col), F.lit(1_000_000))
+    return df.withColumn("sample_ppm", draw).filter(F.col("sample_ppm") < rate)
+
+
+def budget_select(
+    df: DataFrame,
+    budgets: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    n_buckets: int = 4096,
+    salt: str = "budget:",
+) -> DataFrame:
+    """Per-stratum token-budget prefix selection: order each stratum's
+    documents by the deterministic 60-bit key, keep the maximal prefix
+    whose running token total stays ≤ ``budgets[stratum]`` (a document
+    that would cross the budget — and everything after it — is dropped:
+    strict prefix semantics, so the result is a total-order contract, not
+    a knapsack).
+
+    Scale shape (the reason this is not one big window): a per-stratum
+    ordered window is a single reducer per stratum — a non-starter when
+    one language holds 40 TB. Instead:
+
+    1. bucket the key's top bits into ``n_buckets`` ranges and build a
+       map-side combined ``(stratum, bucket) -> sum(tokens)`` histogram —
+       at most ``n_buckets`` rows per stratum ever shuffle;
+    2. a tiny window over the histogram finds each stratum's cutoff
+       bucket and the tokens already spent below it;
+    3. buckets strictly below the cutoff are kept via a broadcast
+       semi-join (narrow); **only the boundary bucket** — ~1/n_buckets
+       of the stratum — pays the exact cumulative-sum window, seeded
+       with the spent-below total.
+
+    Strata absent from ``budgets`` are dropped (budget 0). Emits
+    ``id_col, strata_col, n_tokens`` for the selected documents.
+    """
+    if tokens_col is None:
+        tokens_col = F.size(F.split(F.col("text"), " "))
+    budget = None
+    for stratum, b in sorted(budgets.items()):
+        cond = F.col(strata_col) == stratum
+        budget = F.when(cond, F.lit(int(b))) if budget is None else budget.when(cond, F.lit(int(b)))
+    budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        tokens_col.cast("long").alias("n_tokens"),
+        key60_col(salt, id_col).alias("hkey"),
+        budget.cast("long").alias("budget"),
+    ).withColumn(
+        # integer division: hkey spans the full 60-bit range, which double
+        # division (53-bit mantissa) would mis-bucket at the boundaries
+        "bucket",
+        F.expr(f"CAST(hkey DIV {(1 << 60) // n_buckets} AS INT)"),
+    )
+
+    hist = keyed.groupBy(strata_col, "bucket", "budget").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = (
+        hist.withColumn("below", F.coalesce(F.sum("bucket_tokens").over(w), F.lit(0)))
+        # the cutoff bucket: first whose cumulative total crosses the
+        # budget; everything below it fits entirely
+        .withColumn("fits", F.col("below") + F.col("bucket_tokens") <= F.col("budget"))
+        .withColumn("starts_within", F.col("below") <= F.col("budget"))
+    )
+    cutoff = (
+        cut.filter(~F.col("fits") & F.col("starts_within"))
+        .groupBy(strata_col)
+        .agg(F.min("bucket").alias("cut_bucket"))
+    )
+    spent = (
+        cut.join(cutoff, strata_col, "left")
+        .filter(F.col("fits") & (F.col("bucket") < F.coalesce(F.col("cut_bucket"), F.lit(n_buckets))))
+        .groupBy(strata_col)
+        .agg(F.sum("bucket_tokens").alias("spent_below"), F.max("bucket").alias("max_kept"))
+    )
+    bounds = (
+        cutoff.join(spent, strata_col, "outer")
+        .select(
+            strata_col,
+            F.coalesce(F.col("cut_bucket"), F.lit(n_buckets)).alias("cut_bucket"),
+            F.coalesce(F.col("spent_below"), F.lit(0)).alias("spent_below"),
+        )
+    )
+
+    tagged = keyed.join(F.broadcast(bounds), strata_col, "inner")
+    kept_whole = tagged.filter(F.col("bucket") < F.col("cut_bucket"))
+    wexact = (
+        Window.partitionBy(strata_col)
+        .orderBy("hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        tagged.filter(F.col("bucket") == F.col("cut_bucket"))
+        .withColumn("cum", F.col("spent_below") + F.sum("n_tokens").over(wexact))
+        .filter(F.col("cum") <= F.col("budget"))
+    )
+    cols = [id_col, strata_col, "n_tokens"]
+    return kept_whole.select(*cols).unionByName(boundary.select(*cols))

@@ -1,0 +1,141 @@
+"""Curation operator tests: n-gram decontamination, deterministic
+stratified sampling, and token-budget prefix selection (including the
+histogram-decomposition == naive-window equivalence)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from openccnet_spark.operators.curation import (
+    budget_select,
+    decontaminate,
+    key60_col,
+    ngram_hashes_col,
+    stratified_sample,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d e f g h", "en"),
+        (1, "c d e f g h i j", "en"),  # shares 3-grams with doc 0
+        (2, "x y z", "en"),  # shorter than n=4: no 4-grams
+        (3, "p q r s t u v w", "zh"),
+        (4, "a b c d x y z w", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ngram_hashes_distinct_and_short_doc_guard(spark, docs):
+    out = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", ngram_hashes_col("text", 4).alias("h")
+        ).collect()
+    }
+    assert out[2] == []  # 3 words < n=4 -> empty, not sequence(1, 0)
+    assert out[0] == [
+        _h60(" ".join(["a", "b", "c", "d", "e", "f", "g", "h"][i : i + 4]))
+        for i in range(5)
+    ]
+    rep = spark.createDataFrame([(9, "a b a b a b")], "doc_id long, text string")
+    (row,) = rep.select(ngram_hashes_col("text", 2).alias("h")).collect()
+    assert sorted(row.h) == sorted({_h60("a b"), _h60("b a")})  # distinct
+
+
+def test_decontaminate_counts_and_broadcast_plan(spark, docs):
+    bench = spark.createDataFrame([("c d e f g h",)], "text string")
+    res = decontaminate(docs, bench, n=4)
+    hits = {r.doc_id: r.n_hits for r in res.collect()}
+    # bench 4-grams: "c d e f", "d e f g", "e f g h" — docs 0 and 1 carry
+    # all three; nothing else overlaps
+    assert hits == {0: 3, 1: 3}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    none = stratified_sample(docs, {}, default_ppm=0).collect()
+    assert none == []
+    everything = stratified_sample(docs, {}, default_ppm=1_000_000).collect()
+    assert len(everything) == 5
+    picked = stratified_sample(
+        docs, {"en": 1_000_000, "zh": 0}, default_ppm=0
+    ).collect()
+    assert sorted(r.doc_id for r in picked) == [0, 1, 2]
+    for r in picked:
+        assert r.sample_ppm == _h60(f"strat:{r.doc_id}") % 1_000_000
+    again = stratified_sample(
+        docs, {"en": 1_000_000, "zh": 0}, default_ppm=0
+    ).collect()
+    assert sorted(map(tuple, picked)) == sorted(map(tuple, again))
+
+
+def _naive_budget(rows, budgets):
+    """The spec: per-stratum (hkey, id) order, maximal prefix <= budget."""
+    kept = []
+    by_lang = {}
+    for doc_id, text, lang in rows:
+        by_lang.setdefault(lang, []).append((doc_id, len(text.split(" "))))
+    for lang, docs_ in by_lang.items():
+        budget = budgets.get(lang, 0)
+        cum = 0
+        for doc_id, toks in sorted(
+            docs_, key=lambda d: (_h60(f"budget:{d[0]}"), d[0])
+        ):
+            cum += toks
+            if cum > budget:
+                break
+            kept.append((doc_id, lang, toks))
+    return sorted(kept)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 4096])
+def test_budget_select_matches_naive_for_any_bucketing(spark, n_buckets):
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range((i * 13) % 9 + 1)), ["en", "zh", "fr"][i % 3])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    budgets = {"en": 40, "zh": 11, "de": 100}  # fr absent -> dropped
+    got = sorted(
+        (r.doc_id, r.lang, r.n_tokens)
+        for r in budget_select(df, budgets, n_buckets=n_buckets).collect()
+    )
+    assert got == _naive_budget(rows, budgets)
+    assert all(lang != "fr" for _, lang, _ in got)
+
+
+def test_budget_select_prefix_not_knapsack(spark):
+    """A crossing document drops itself AND everything after it, even if a
+    later small document would still fit."""
+    texts = {1: "a", 2: "a b c d e f g h", 3: "a"}
+    df = spark.createDataFrame(
+        [(i, texts[i], "en") for i in (1, 2, 3)], "doc_id long, text string, lang string"
+    )
+    order = sorted(texts, key=lambda d: (_h60(f"budget:{d}"), d))
+    toks = {1: 1, 2: 8, 3: 1}
+    budget = {"en": 3}
+    kept, cum = [], 0
+    for d in order:
+        cum += toks[d]
+        if cum > 3:
+            break
+        kept.append(d)
+    got = sorted(r.doc_id for r in budget_select(df, budget).collect())
+    assert got == sorted(kept)
+    assert len(got) < 3  # the 8-token doc crosses somewhere
+
+
+def test_key60_matches_python(spark):
+    df = spark.createDataFrame([(17,), (42,)], "doc_id long")
+    for r in df.select("doc_id", key60_col("k:", "doc_id").alias("h")).collect():
+        assert r.h == _h60(f"k:{r.doc_id}")
