@@ -971,6 +971,31 @@ def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(docs, _TOKEN_BUDGETS)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier: distributed deterministic training
+    (one integer-EXACT normal-equations pass + 3 quantized Newton/IRLS
+    rounds — every cross-partition reduction an order-free int64 sum, so
+    the weights are bit-identical at any partitioning) of a linear
+    student imitating the heuristic quality gate on the doc_id %% 2
+    slice, then a pure-JVM integer scoring pass over EVERY document
+    (explode -> broadcast weight table -> map-side combined sum). The
+    oracle replays training bit-exactly in numpy and recomputes the
+    integer scores in closed-form SQL. NB: like the IVF oracles, the
+    replay trains on the sf0.01 tables (SPARK_GRAFT_ORACLE_SF_DIR)."""
+    from openccnet_spark.operators.quality_model import (
+        quantize_weights,
+        score_frame,
+        train_distributed,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    handles: list = []
+    wq = quantize_weights(train_distributed(docs, sample_mod=2, handles=handles))
+    out = score_frame(docs, wq)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
+
+
 #: (case_id, op, input, expected) for the St/Ts char-only goldens (O10)
 _ST_TS_GOLDENS = [
     (0, "st", "发", "發"),
@@ -1292,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": _armed(_q_decontaminate_ngram),
         "sample_stratified": _armed(_q_sample_stratified),
         "budget_select": _armed(_q_budget_select),
+        "quality_classifier": _armed(_q_quality_classifier),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1772,6 +1798,7 @@ def _optional_oracles() -> dict[str, str]:
         ("similarity_ivf_sampled", lambda: _similarity_ivf_oracle(sample_mod=4)),
         ("similarity_recall", _similarity_recall_oracle),
         ("similarity_recall_planted", _similarity_recall_planted_oracle),
+        ("quality_classifier", _quality_classifier_oracle),
     ):
         try:
             out[name] = builder()
@@ -1785,6 +1812,70 @@ def _optional_oracles() -> dict[str, str]:
             else:
                 raise
     return out
+
+
+def _quality_classifier_oracle() -> str:
+    """Replays the distilled-classifier training bit-exactly in numpy
+    (same integer features — the milli columns come from the engine-parity
+    DuckDB SQL — same exact/quantized order-free sums, same shared driver
+    solves) and emits the quantized weights as literals; the per-document
+    integer score is then recomputed in closed-form SQL, so a wrong
+    gradient, a partition-order leak or a scoring mismatch hash-fails."""
+    import duckdb
+
+    from openccnet_spark.operators.quality_model import (
+        QM_DIM,
+        QM_TEACHER_MILLI,
+        classifier_replay,
+        quantize_weights,
+        sql_milli_features,
+    )
+    from openccnet_spark.operators.textstats import sql_quality_score_milli
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    mf = sql_milli_features("text")
+    q = sql_quality_score_milli("text")
+    rows = duckdb.sql(
+        f"""
+SELECT doc_id, text,
+       CASE WHEN {q} >= {QM_TEACHER_MILLI} THEN 1 ELSE 0 END,
+       {mf['lm']}, {mf['uq']}, {mf['sm']}
+FROM '{sf_dir}/documents.parquet' ORDER BY doc_id
+"""
+    ).fetchall()
+    wq = quantize_weights(
+        classifier_replay(
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+            [r[3] for r in rows],
+            [r[4] for r in rows],
+            [r[5] for r in rows],
+            sample_mod=2,
+        )
+    )
+    case = " ".join(f"WHEN {i} THEN {int(wq[i])}" for i in range(QM_DIM))
+    return f"""
+WITH wsum AS (
+  SELECT doc_id,
+         sum(CASE ('0x' || substr(md5(word), 1, 15))::BIGINT % {QM_DIM}
+             {case} END)::BIGINT AS hs
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) u
+  GROUP BY 1
+),
+s AS (
+  SELECT d.doc_id,
+         (CASE WHEN {q} >= {QM_TEACHER_MILLI} THEN 1 ELSE 0 END)::INT AS label,
+         (ws.hs + {mf['lm']} * ({int(wq[QM_DIM])})
+                + {mf['uq']} * ({int(wq[QM_DIM + 1])})
+                + {mf['sm']} * ({int(wq[QM_DIM + 2])})
+                + 1000 * ({int(wq[QM_DIM + 3])}))::BIGINT AS score_q
+  FROM documents d JOIN wsum ws USING (doc_id)
+)
+SELECT doc_id, label, score_q,
+       (CASE WHEN score_q >= 0 THEN 1 ELSE 0 END)::INT AS pred
+FROM s
+"""
 
 
 def _similarity_recall_planted_oracle() -> str:

@@ -623,6 +623,7 @@ def main() -> int:
             "pdf_reflow_convert", "office_convert", "multimodal_decode",
             "multimodal_audio", "multimodal_video",
             "decontaminate_ngram", "sample_stratified", "budget_select",
+            "quality_classifier",
             "streaming_dedup_replay",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
