@@ -189,6 +189,7 @@ def _cmd_pdf(args: argparse.Namespace) -> int:
         converter=cc,
         password=args.password or "",
         column_layout=args.columns,
+        strip_repeated=args.strip_headers,
     )
     output = args.output or str(Path(args.input).with_suffix(".txt"))
     Path(output).write_text(text, encoding="utf-8")
@@ -250,6 +251,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="multi-column pages: reorder into column reading order "
         "(default keeps content-stream order, matching the reference's "
         "ContentOrderTextExtractor)",
+    )
+    d.add_argument(
+        "--strip-headers",
+        action="store_true",
+        help="suppress running headers/footers (digit-masked lines "
+        "repeating at the same y on at least half the pages)",
     )
     d.add_argument("--compact", "-C", action="store_true", help="compact reflow")
     d.add_argument("--extract", "-e", action="store_true", help="extract only, no conversion")

@@ -1424,11 +1424,71 @@ def _columns_text(runs: list[tuple], min_gutter: float = MIN_COLUMN_GUTTER) -> s
     return "\n".join(out)
 
 
+# -- running header/footer suppression (opt-in) ------------------------------
+
+_HF_DIGIT_RE = re.compile(r"[0-9]+")
+_HF_Y_QUANT = 2.0  # same-y tolerance (points) for "the same running line"
+_HF_MIN_FRAC = 0.5  # repeated on at least half the pages (and always >= 2)
+
+
+def _hf_rows(runs: list[tuple]) -> dict[float, list[tuple]]:
+    by_line: dict[float, list[tuple]] = {}
+    for r in runs:
+        if r[2].strip():
+            by_line.setdefault(round(r[1], 1), []).append(r)
+    return by_line
+
+
+def _hf_line_key(y: float, rendered: str) -> tuple:
+    """Identity of a running line: digits masked (page NUMBERS vary —
+    'Page 3 of 10' == 'Page 7 of 10') + quantized baseline y (a header
+    repeats at the same place; the same sentence in body text does not)."""
+    return (_HF_DIGIT_RE.sub("#", rendered.strip()), round(y / _HF_Y_QUANT))
+
+
+def _repeated_line_keys(per_page_runs: list[list[tuple]]) -> set:
+    """Line keys present on >= max(2, ceil(_HF_MIN_FRAC * pages)) pages."""
+    counts: dict[tuple, int] = {}
+    for runs in per_page_runs:
+        for y, rrs in _hf_rows(runs).items():
+            rendered = _render_line(rrs)
+            if rendered.strip():
+                k = _hf_line_key(y, rendered)
+                counts[k] = counts.get(k, 0) + 1
+    import math
+
+    need = max(2, math.ceil(_HF_MIN_FRAC * len(per_page_runs)))
+    return {k for k, c in counts.items() if c >= need}
+
+
+def _strip_repeated_runs(runs: list[tuple], keys: set) -> list[tuple]:
+    """Drop every run belonging to a flagged line, preserving the original
+    content-stream order of the survivors."""
+    drop: set[int] = set()
+    by_line: dict[float, list[int]] = {}
+    for i, r in enumerate(runs):
+        by_line.setdefault(round(r[1], 1), []).append(i)
+    for y, idxs in by_line.items():
+        rendered = _render_line([runs[i] for i in idxs])
+        if rendered.strip() and _hf_line_key(y, rendered) in keys:
+            drop.update(idxs)
+    return [r for i, r in enumerate(runs) if i not in drop]
+
+
+def _lines_text(runs: list[tuple]) -> str:
+    """Plain positional rendering: baselines top-to-bottom, runs
+    left-to-right with the shared gap rule — the renderer for suppression
+    mode on pages with no column structure."""
+    by_line = _hf_rows(runs)
+    return "\n".join(_render_line(by_line[y]) for y in sorted(by_line, reverse=True))
+
+
 def extract_pdf_text(
     data: bytes,
     add_page_header: bool = False,
     password: bytes | str = b"",
     column_layout: bool = False,
+    strip_repeated: bool = False,
 ) -> str:
     """Whole-document text, page-concatenated like the reference
     (``PdfHelper.cs:140-170``): per page trim CR/LF/space, optional
@@ -1444,23 +1504,54 @@ def extract_pdf_text(
     (``PdfHelper.cs:40``) emits content-stream order, so the default
     stays byte-parity with it and column mode is the opt-in improvement
     for two-column papers/scanned books, where content order interleaves
-    the columns."""
+    the columns.
+
+    ``strip_repeated=True`` removes running headers/footers: lines whose
+    digit-masked text repeats at the same quantized y on at least half
+    the pages (min 2). Also opt-in and positional by nature (pages with
+    flagged lines render baselines top-to-bottom); with no repeats —
+    including every single-page document — output is identical to the
+    flag being off. The reference has no counterpart (PdfPig
+    ContentOrderTextExtractor keeps running lines)."""
     doc = PdfDocument(data, password=password)
     pages = doc.pages()
     total = len(pages)
     if total == 0:
         return ""
+    hf_keys: set = set()
+    runs_cache: dict[int, list | None] = {}
+    if strip_repeated and total >= 2:
+        for idx, page in enumerate(pages):
+            try:
+                runs_cache[idx] = _page_runs(doc, page)
+            except Exception:
+                runs_cache[idx] = None
+        hf_keys = _repeated_line_keys([r for r in runs_cache.values() if r])
     parts: list[str] = []
     for i, page in enumerate(pages, 1):
         try:
             text = None
-            if column_layout:
+            if column_layout or hf_keys:
                 # an isolated attempt: a failure in the positional pass
                 # must degrade to content order, not to an empty page.
                 # (A no-column page pays the runs walk twice — the cost
                 # of the opt-in mode, correctness first.)
                 try:
-                    text = _columns_text(_page_runs(doc, page))
+                    runs = runs_cache.get(i - 1, ...)
+                    if runs is ...:
+                        runs = _page_runs(doc, page)
+                    if runs is not None and hf_keys:
+                        stripped = _strip_repeated_runs(runs, hf_keys)
+                        if len(stripped) < len(runs):
+                            # a page with flagged lines renders positionally
+                            text = (
+                                _columns_text(stripped) if column_layout else None
+                            ) or _lines_text(stripped)
+                            runs = None  # positional path taken
+                        else:
+                            runs = stripped
+                    if text is None and column_layout and runs is not None:
+                        text = _columns_text(runs)
                 except Exception:
                     text = None
             if text is None:
@@ -1486,6 +1577,7 @@ def pdf_to_text(
     converter: Converter | None = None,
     password: bytes | str = b"",
     column_layout: bool = False,
+    strip_repeated: bool = False,
 ) -> str:
     """The reference's full pdf-command pipeline over one PDF byte blob
     (``PdfCommand.cs:211-247``): extract -> NormalizeCompat (always, like
@@ -1496,7 +1588,8 @@ def pdf_to_text(
     change anything and is not reproduced.)"""
     cc = converter or default_converter()
     text = extract_pdf_text(
-        data, add_page_header, password=password, column_layout=column_layout
+        data, add_page_header, password=password, column_layout=column_layout,
+        strip_repeated=strip_repeated,
     )
     text = cc.normalize_compat(text)
     if reflow:
@@ -1516,6 +1609,7 @@ def convert_pdf_files(
     compact: bool = False,
     password: bytes | str = b"",
     column_layout: bool = False,
+    strip_repeated: bool = False,
 ) -> DataFrame:
     """binaryFile scan -> per-file extract/reflow/convert -> (path, text).
     ``password`` (one shared user/owner password, the common corpus case)
@@ -1528,6 +1622,7 @@ def convert_pdf_files(
                 pdf_to_text(
                     bytes(c), config, punct, add_page_header, reflow, compact,
                     password=password, column_layout=column_layout,
+                    strip_repeated=strip_repeated,
                 )
                 for c in pdf["content"]
             ]

@@ -148,12 +148,26 @@ def build_pdf_positioned(
     order — the general fixture for layout-analysis tests: nested
     column/caption/column pages, scrambled emission order, anything
     ``build_pdf_two_column``'s row-interleave shape can't express."""
-    ops = [b"BT /F1 12 Tf"]
-    for x, y, text in items:
-        ops.append(b"1 0 0 1 %d %d Tm" % (int(x), int(y)))
-        ops.append(_show_op(text, cjk))
-    ops.append(b"ET")
-    return build_pdf([b"\n".join(ops)], cjk=cjk, compress=compress)
+    return build_pdf_positioned_pages([items], cjk=cjk, compress=compress)
+
+
+def build_pdf_positioned_pages(
+    pages: list[list[tuple[float, float, str]]],
+    cjk: bool = True,
+    compress: bool = True,
+) -> bytes:
+    """Multi-page ``build_pdf_positioned`` — the fixture for cross-page
+    layout analysis (running header/footer suppression needs repeated
+    lines at the same y across pages)."""
+    contents = []
+    for items in pages:
+        ops = [b"BT /F1 12 Tf"]
+        for x, y, text in items:
+            ops.append(b"1 0 0 1 %d %d Tm" % (int(x), int(y)))
+            ops.append(_show_op(text, cjk))
+        ops.append(b"ET")
+        contents.append(b"\n".join(ops))
+    return build_pdf(contents, cjk=cjk, compress=compress)
 
 
 def build_pdf(pages: list[list[str]], cjk: bool = True, compress: bool = True) -> bytes:

@@ -850,3 +850,83 @@ def test_nested_layout_subcolumns_inside_a_column():
     data = build_pdf_positioned(items)
     got = extract_pdf_text(data, column_layout=True).strip().splitlines()
     assert got == [header] + sub1 + sub2 + right, got
+
+
+def test_strip_repeated_headers_footers():
+    """Running header (digit-masked: 'Chapter 1' page numbers vary) and
+    footer ('Page N of M') repeat at the same y across pages -> dropped;
+    body lines survive in order; a page-unique line at the header y
+    survives."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_positioned_pages
+
+    pages = []
+    for p in range(4):
+        items = [
+            (72, 760, f"Chapter {p + 1}"),          # header, digits vary
+            (72, 720, f"body {'wxyz'[p]} line one"),
+            (72, 706, f"body {'wxyz'[p]} line two"),
+            (72, 40, f"Page {p + 1} of 4"),          # footer
+        ]
+        pages.append(items)
+    pages[2].append((300, 744, "unique marginal note"))  # one page only
+    data = build_pdf_positioned_pages(pages)
+    plain = extract_pdf_text(data)
+    assert "Chapter 2" in plain and "Page 3 of 4" in plain
+    got = extract_pdf_text(data, strip_repeated=True)
+    assert "Chapter" not in got and "Page" not in got
+    assert "unique marginal note" in got
+    for p in range(4):
+        assert f"body {'wxyz'[p]} line one\nbody {'wxyz'[p]} line two" in got
+
+
+def test_strip_repeated_noop_without_repeats_and_on_single_page():
+    """No repeated lines (or a single page) -> byte-identical to the flag
+    being off, so default content-order parity is preserved."""
+    from openccnet_spark.sources.pdf_synth import build_pdf, build_pdf_positioned_pages
+
+    single = build_pdf([["只有 一頁", "第二 行"]])
+    assert extract_pdf_text(single, strip_repeated=True) == extract_pdf_text(single)
+    # LETTERS differ across pages (digit masking must not unify these)
+    names = ["alpha", "bravo"]
+    data = build_pdf_positioned_pages(
+        [
+            [(72, 720 - 14 * i, f"{names[p]} line {'abc'[i]}") for i in range(3)]
+            for p in range(2)
+        ]
+    )
+    assert extract_pdf_text(data, strip_repeated=True) == extract_pdf_text(data)
+
+
+def test_strip_repeated_same_text_different_y_not_dropped():
+    """The same sentence at DIFFERENT y positions is body text, not a
+    running line — the y component of the key must keep it."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_positioned_pages
+
+    pages = [
+        [(72, 700 - 30 * p, "repeated sentence"), (72, 400, f"filler {p}")]
+        for p in range(4)
+    ]
+    got = extract_pdf_text(build_pdf_positioned_pages(pages), strip_repeated=True)
+    assert got.count("repeated sentence") == 4
+
+
+def test_strip_repeated_composes_with_column_layout():
+    """Header suppression + column reordering on the same pages: the
+    repeated header vanishes and the columns still read in order."""
+    from openccnet_spark.sources.pdf_synth import build_pdf_positioned_pages
+
+    def page(p):
+        items = [(72, 760, "Running Head")]
+        for i in range(3):  # interleaved emission, two columns
+            items.append((72, 700 - 14 * i, f"L{'pq'[p]}{'abc'[i]}x L{'pq'[p]}{'abc'[i]}y"))
+            items.append((330, 700 - 14 * i, f"R{'pq'[p]}{'abc'[i]}x R{'pq'[p]}{'abc'[i]}y"))
+        return items
+
+    data = build_pdf_positioned_pages([page(0), page(1)])
+    got = extract_pdf_text(data, column_layout=True, strip_repeated=True)
+    assert "Running Head" not in got
+    p0 = got.splitlines()
+    li = [l for l in p0 if l.startswith("Lp")]
+    ri = [l for l in p0 if l.startswith("Rp")]
+    assert li == ["Lpax Lpay", "Lpbx Lpby", "Lpcx Lpcy"]
+    assert p0.index(li[-1]) < p0.index(ri[0])  # left column before right
