@@ -1171,6 +1171,47 @@ def _q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier's CORE pipeline (conversion + langid + ppl + heuristics +
+    scrub) run INCREMENTALLY: the deterministic transcripts table is
+    written as 10 parquet files, read back as a file stream in multiple
+    micro-batches (maxFilesPerTrigger=3), passed through the SAME
+    `quality_filter` the batch query uses (the gate is stateless per
+    turn, so it lifts to streaming unchanged), and appended to a parquet
+    sink under an availableNow trigger with a streaming checkpoint. The
+    returned frame is the FINAL SINK TABLE and the oracle is the batch
+    pipeline's pool-literal oracle UNCHANGED — incremental execution must
+    produce byte-identical per-turn output to the batch plan."""
+    import shutil
+
+    from openccnet_spark.streaming import (
+        read_transcripts_stream,
+        streaming_quality_filter,
+    )
+
+    base = spark_transcripts(spark, n_conv_for_sf(sf_dir))
+    root = tempfile.mkdtemp(prefix="openccnet-sqf-")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    base.repartition(10).write.parquet(src)
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=3)
+    out = streaming_quality_filter(stream, config="t2s").select(
+        "conv_id", "turn_idx", "keep", "drop_reason", "lang",
+        "text_converted", "text_scrubbed",
+        F.floor(F.col("ppl") * 1000).cast("long").alias("ppl_milli"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(root, "sink"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(root, "sink"))
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + filtered agg + deterministic top-10."""
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -1328,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _armed(_q_events_window),
         "events_sessionize": _armed(_q_events_sessionize),
         "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
+        "streaming_quality_filter": _armed(_q_streaming_quality_filter),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
         "topk_customers": _armed(_q_topk_customers),
         "shipping_priority": _armed(_q_shipping_priority),
@@ -1424,6 +1466,9 @@ FROM documents
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_transcripts": _pipeline_oracle("sf0.01"),
+        # incremental execution must equal the batch plan byte-for-byte,
+        # so the streaming query shares the batch pipeline's oracle
+        "streaming_quality_filter": _pipeline_oracle("sf0.01"),
         "quality_documents": _quality_documents_oracle(),
         "convert_goldens": _convert_goldens_oracle(),
         # the zstd-loaded bundle must produce the SAME goldens (the
