@@ -926,6 +926,7 @@ def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRAT_RATES_PPM = {"en": 200_000, "zh": 500_000, "ja": 800_000}
 _STRAT_DEFAULT_PPM = 100_000
 _TOKEN_BUDGETS = {"en": 6_000, "zh": 2_000, "fr": 99_999_999, "es": 500}
+_TOP_FRAC_PPM = 300_000
 
 
 def _q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,6 +970,21 @@ def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return budget_select(docs, _TOKEN_BUDGETS)
+
+
+def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate (C4/FineWeb shape): keep the top 30% of each
+    language by quality score, exact rank semantics with deterministic
+    (score DESC, doc_id) tie-breaks and pure-integer ppm quotas. The
+    Spark plan is the bounded-domain histogram decomposition (cutoff
+    score from a <=1001-rows-per-lang histogram, strictly-better docs via
+    broadcast join, ONLY the cutoff tie group pays a row_number window);
+    the oracle is the naive per-language rank, so the decomposition must
+    equal it exactly."""
+    from openccnet_spark.operators.curation import top_fraction_select
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM)
 
 
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _armed(_q_sample_stratified),
         "budget_select": _armed(_q_budget_select),
         "quality_classifier": _armed(_q_quality_classifier),
+        "quality_top_fraction": _armed(_q_quality_top_fraction),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1703,6 +1720,7 @@ c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY hkey, doc_id
                                     ROWS UNBOUNDED PRECEDING) AS cum FROM d)
 SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
 """,
+        "quality_top_fraction": _top_fraction_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
             "case_id::INT AS case_id, op, output",
@@ -2373,6 +2391,25 @@ SELECT lang,
        min(CASE WHEN rn = ceil(0.9 * n) THEN q END)::BIGINT AS p90_milli,
        min(CASE WHEN rn = ceil(0.99 * n) THEN q END)::BIGINT AS p99_milli
 FROM r GROUP BY lang
+"""
+
+
+def _top_fraction_oracle() -> str:
+    """The NAIVE spec of curation.top_fraction_select: rank each language
+    by (score DESC, doc_id) and keep rank <= ceil(n * frac / 1e6), the
+    ceil in pure integer arithmetic. The Spark side's histogram/cutoff
+    decomposition must equal this exactly at any partitioning."""
+    from openccnet_spark.operators import textstats as T
+
+    q = T.sql_quality_score_milli("coalesce(text, '')")
+    return f"""
+WITH d AS (SELECT doc_id, lang, ({q})::BIGINT AS score FROM documents),
+r AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM d)
+SELECT doc_id, lang, score FROM r
+WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)
 """
 
 

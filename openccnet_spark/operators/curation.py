@@ -41,6 +41,7 @@ __all__ = [
     "key60_col",
     "stratified_sample",
     "budget_select",
+    "top_fraction_select",
 ]
 
 
@@ -239,3 +240,72 @@ def budget_select(
     )
     cols = [id_col, strata_col, "n_tokens"]
     return kept_whole.select(*cols).unionByName(boundary.select(*cols))
+
+
+def top_fraction_select(
+    df: DataFrame,
+    frac_ppm: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: Column | None = None,
+) -> DataFrame:
+    """Per-stratum top-fraction selection ("keep the best 30% of each
+    language by quality score" — the C4/FineWeb-style adaptive gate):
+    rank each stratum's documents by (score DESC, id ASC) and keep
+    rank <= quota, quota = ceil(n * frac_ppm / 1e6) computed in pure
+    integer arithmetic (a float `ceil(0.3 * n)` rounds differently
+    across engines; `(n * ppm + 999999) DIV 1e6` cannot).
+
+    Scale shape: the score domain is BOUNDED (quality_score_milli is
+    0..1000), so a map-side combined ``(stratum, score) -> count``
+    histogram (<= 1001 rows per stratum ever shuffle) finds each
+    stratum's cutoff score and how much of the quota the strictly-better
+    scores consume; docs strictly above the cutoff are kept via a
+    broadcast join (narrow), and ONLY the cutoff-score tie group — the
+    docs sharing that one score value — pays an exact row_number window.
+    Identical to the naive per-stratum rank at any partitioning.
+
+    ``score_col`` defaults to ``textstats.quality_score_milli(text)``.
+    Emits ``id_col, strata_col, score``.
+    """
+    from .textstats import quality_score_milli
+
+    if score_col is None:
+        score_col = quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
+    scored = df.select(
+        F.col(id_col), F.col(strata_col), score_col.cast("long").alias("score")
+    )
+    hist = scored.groupBy(strata_col, "score").agg(F.count(F.lit(1)).alias("cnt"))
+    w_above = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(strata_col)
+    cut = (
+        hist.withColumn("above", F.coalesce(F.sum("cnt").over(w_above), F.lit(0)))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn(
+            # least(n, ...) clamps frac_ppm > 1e6 to "keep all": without it
+            # no histogram row satisfies above + cnt >= quota and the cut
+            # frame comes back EMPTY, silently dropping the whole stratum
+            "quota",
+            F.expr(f"least(n, (n * {int(frac_ppm)} + 999999) DIV 1000000)"),
+        )
+        .filter((F.col("above") < F.col("quota")) & (F.col("above") + F.col("cnt") >= F.col("quota")))
+        .select(
+            strata_col,
+            F.col("score").alias("cut_score"),
+            (F.col("quota") - F.col("above")).alias("tie_quota"),
+        )
+    )
+    tagged = scored.join(F.broadcast(cut), strata_col, "inner")
+    kept_above = tagged.filter(F.col("score") > F.col("cut_score"))
+    w_tie = Window.partitionBy(strata_col).orderBy(id_col)
+    ties = (
+        tagged.filter(F.col("score") == F.col("cut_score"))
+        .withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") <= F.col("tie_quota"))
+    )
+    cols = [id_col, strata_col, "score"]
+    return kept_above.select(*cols).unionByName(ties.select(*cols))

@@ -15,6 +15,7 @@ from openccnet_spark.operators.curation import (
     key60_col,
     ngram_hashes_col,
     stratified_sample,
+    top_fraction_select,
 )
 
 
@@ -133,6 +134,64 @@ def test_budget_select_prefix_not_knapsack(spark):
     got = sorted(r.doc_id for r in budget_select(df, budget).collect())
     assert got == sorted(kept)
     assert len(got) < 3  # the 8-token doc crosses somewhere
+
+
+def _naive_top_fraction(rows, frac_ppm):
+    """The spec: per-stratum (score DESC, id ASC) rank, keep the integer-ceil
+    quota; frac_ppm above 1e6 clamps to keep-all."""
+    by_lang = {}
+    for doc_id, lang, score in rows:
+        by_lang.setdefault(lang, []).append((doc_id, score))
+    kept = []
+    for lang, ds in by_lang.items():
+        n = len(ds)
+        quota = min(n, (n * frac_ppm + 999_999) // 1_000_000)
+        order = sorted(ds, key=lambda t: (-t[1], t[0]))
+        kept += [(d, lang, s) for d, s in order[:quota]]
+    return sorted(kept)
+
+
+@pytest.fixture(scope="module")
+def scored_docs(spark):
+    # heavy score ties (domain 0..4) so the cutoff tie group is exercised
+    # in every stratum, plus a singleton stratum for the quota=ceil edge
+    rows = [(i, ["en", "zh", "fr"][i % 3], (i * 7) % 5) for i in range(61)] + [
+        (999, "solo", 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    return rows, df
+
+
+@pytest.mark.parametrize("frac_ppm", [0, 1, 300_000, 500_000, 999_999, 1_000_000])
+def test_top_fraction_matches_naive_rank(spark, scored_docs, frac_ppm):
+    rows, df = scored_docs
+    got = sorted(
+        (r.doc_id, r.lang, r.score)
+        for r in top_fraction_select(
+            df, frac_ppm, score_col=F.col("score")
+        ).collect()
+    )
+    assert got == _naive_top_fraction(rows, frac_ppm)
+    if frac_ppm == 1:
+        # ceil semantics: every non-empty stratum keeps at least one doc
+        assert {lang for _, lang, _ in got} == {"en", "zh", "fr", "solo"}
+
+
+def test_top_fraction_clamps_over_million(spark, scored_docs):
+    rows, df = scored_docs
+    got = top_fraction_select(df, 2_000_000, score_col=F.col("score")).collect()
+    assert len(got) == len(rows)  # without the least(n, ...) clamp: 0 rows
+
+
+def test_top_fraction_tie_break_is_id_order(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 7) for i in (5, 3, 9, 1, 4)], "doc_id long, lang string, score long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in top_fraction_select(df, 400_000, score_col=F.col("score")).collect()
+    )
+    assert got == [1, 3]  # quota=2, all-tied stratum -> lowest ids win
 
 
 def test_key60_matches_python(spark):
