@@ -987,6 +987,18 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM)
 
 
+def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+    char mass of repeated word n-grams as integer ppm (top 2/3/4-gram,
+    duplicate 5/10-gram) plus the threshold keep flag. One narrow
+    mapInPandas pass, zero shuffle; the oracle recomputes every n-gram's
+    count and char mass by exploding in SQL."""
+    from openccnet_spark.operators.repetition import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled quality classifier: distributed deterministic training
     (one integer-EXACT normal-equations pass + 3 quantized Newton/IRLS
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": _armed(_q_budget_select),
         "quality_classifier": _armed(_q_quality_classifier),
         "quality_top_fraction": _armed(_q_quality_top_fraction),
+        "quality_repetition": _armed(_q_quality_repetition),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1721,6 +1734,7 @@ c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY hkey, doc_id
 SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
 """,
         "quality_top_fraction": _top_fraction_oracle(),
+        "quality_repetition": _repetition_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
             "case_id::INT AS case_id, op, output",
@@ -2411,6 +2425,12 @@ r AS (SELECT doc_id, lang, score,
 SELECT doc_id, lang, score FROM r
 WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)
 """
+
+
+def _repetition_oracle() -> str:
+    from openccnet_spark.operators.repetition import sql_repetition_signals
+
+    return sql_repetition_signals("documents")
 
 
 def _textstats_oracle() -> str:

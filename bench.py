@@ -623,7 +623,7 @@ def main() -> int:
             "pdf_reflow_convert", "office_convert", "multimodal_decode",
             "multimodal_audio", "multimodal_video",
             "decontaminate_ngram", "sample_stratified", "budget_select",
-            "quality_classifier", "quality_top_fraction",
+            "quality_classifier", "quality_top_fraction", "quality_repetition",
             "streaming_dedup_replay", "streaming_quality_filter",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
