@@ -927,6 +927,7 @@ _STRAT_RATES_PPM = {"en": 200_000, "zh": 500_000, "ja": 800_000}
 _STRAT_DEFAULT_PPM = 100_000
 _TOKEN_BUDGETS = {"en": 6_000, "zh": 2_000, "fr": 99_999_999, "es": 500}
 _TOP_FRAC_PPM = 300_000
+_MIX_TARGET_PPM = {"src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 100_000}
 
 
 def _q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,6 +986,19 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM)
+
+
+def _q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture rebalancing: subsample so the output
+    is 40/30/20/10% of four sources — the largest total honoring every
+    proportion, each stratum's prefix in (60-bit hash, id) order. The
+    only collect is the per-source count rollup (bounded by #sources);
+    selection reuses budget_select's histogram decomposition with unit
+    weights. Oracle recomputes quotas and the hash-order ranks in SQL."""
+    from openccnet_spark.operators.curation import mixture_rebalance
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_rebalance(docs, _MIX_TARGET_PPM)
 
 
 def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _armed(_q_quality_classifier),
         "quality_top_fraction": _armed(_q_quality_top_fraction),
         "quality_repetition": _armed(_q_quality_repetition),
+        "mixture_rebalance": _armed(_q_mixture_rebalance),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1735,6 +1750,7 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
 """,
         "quality_top_fraction": _top_fraction_oracle(),
         "quality_repetition": _repetition_oracle(),
+        "mixture_rebalance": _mixture_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
             "case_id::INT AS case_id, op, output",
@@ -2424,6 +2440,30 @@ r AS (SELECT doc_id, lang, score,
       FROM d)
 SELECT doc_id, lang, score FROM r
 WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)
+"""
+
+
+def _mixture_oracle() -> str:
+    """Replay of curation.mixture_rebalance: integer quota math + the
+    per-source (hash, id) rank selection, naive-window form."""
+    vals = ", ".join(
+        f"('{s}', {f})" for s, f in sorted(_MIX_TARGET_PPM.items())
+    )
+    return f"""
+WITH t(source, f) AS (VALUES {vals}),
+cnt AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+ntot AS (SELECT min((coalesce(c.n, 0) * 1000000) // t.f)::BIGINT AS n_total
+         FROM t LEFT JOIN cnt c USING (source) WHERE t.f > 0),
+q AS (SELECT t.source,
+             (((SELECT n_total FROM ntot) * t.f) // 1000000)::BIGINT AS quota
+      FROM t WHERE t.f > 0),
+d AS (SELECT doc_id, source,
+             ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT AS hkey
+      FROM documents),
+r AS (SELECT d.doc_id, d.source, q.quota,
+             row_number() OVER (PARTITION BY d.source ORDER BY d.hkey, d.doc_id) AS rn
+      FROM d JOIN q USING (source))
+SELECT doc_id, source FROM r WHERE rn <= quota
 """
 
 

@@ -42,6 +42,8 @@ __all__ = [
     "stratified_sample",
     "budget_select",
     "top_fraction_select",
+    "mixture_quotas",
+    "mixture_rebalance",
 ]
 
 
@@ -240,6 +242,67 @@ def budget_select(
     )
     cols = [id_col, strata_col, "n_tokens"]
     return kept_whole.select(*cols).unionByName(boundary.select(*cols))
+
+
+def mixture_quotas(counts: dict, target_ppm: dict) -> dict:
+    """Per-stratum document quotas realizing a target mixture exactly.
+
+    Given corpus counts ``n_s`` and target proportions ``f_s`` (ppm), the
+    largest total whose composition can honor every proportion is
+    ``N = min over {s : f_s > 0} of (n_s * 1e6) // f_s``; each stratum
+    then contributes ``quota_s = (N * f_s) // 1e6`` documents (all
+    integer, so any engine reproduces it). A target stratum absent from
+    the corpus forces ``N = 0`` — you cannot have 20% of a source that
+    does not exist; strata not in ``target_ppm`` get quota 0.
+    """
+    quotas = {}
+    n_total = None
+    for s, f in target_ppm.items():
+        if f <= 0:
+            continue
+        cap = (counts.get(s, 0) * 1_000_000) // int(f)
+        n_total = cap if n_total is None else min(n_total, cap)
+    for s, f in target_ppm.items():
+        quotas[s] = ((n_total or 0) * int(f)) // 1_000_000 if f > 0 else 0
+    return quotas
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    target_ppm: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Rebalance the corpus to a target source mixture ("50% web, 30%
+    code, 20% wiki") by deterministic subsampling: compute the per-stratum
+    quotas via :func:`mixture_quotas` and keep each stratum's first
+    ``quota`` documents in (60-bit hash, id) order.
+
+    Scale shape: the count pass is a map-side combined per-stratum
+    aggregate whose result is **bounded by the number of sources** — the
+    one ``collect`` here is the same ≤-dozens-row rollup shape as
+    ``metrics.py`` — and the selection reuses ``budget_select``'s
+    histogram/boundary-bucket decomposition with weight 1 per document
+    (count quotas ARE token budgets with unit tokens), so no stratum-wide
+    window ever runs. Emits ``id_col, strata_col``.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quotas = mixture_quotas(counts, target_ppm)
+    picked = budget_select(
+        df,
+        {s: q for s, q in quotas.items() if q > 0},
+        strata_col=strata_col,
+        id_col=id_col,
+        tokens_col=F.lit(1),
+        n_buckets=n_buckets,
+        salt=salt,
+    )
+    return picked.select(id_col, strata_col)
 
 
 def top_fraction_select(

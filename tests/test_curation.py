@@ -194,6 +194,49 @@ def test_top_fraction_tie_break_is_id_order(spark):
     assert got == [1, 3]  # quota=2, all-tied stratum -> lowest ids win
 
 
+def test_mixture_quotas_integer_math():
+    from openccnet_spark.operators.curation import mixture_quotas
+
+    counts = {"web": 100, "code": 30, "wiki": 9}
+    target = {"web": 500_000, "code": 300_000, "wiki": 200_000}
+    # N = min(100e6//5e5, 30e6//3e5, 9e6//2e5) = min(200, 100, 45) = 45
+    assert mixture_quotas(counts, target) == {"web": 22, "code": 13, "wiki": 9}
+    # a target source absent from the corpus forces everything to zero
+    assert mixture_quotas({"web": 100}, {"web": 500_000, "gone": 500_000}) == {
+        "web": 0,
+        "gone": 0,
+    }
+    # zero-rate strata are dropped, not constraining
+    assert mixture_quotas(counts, {"web": 1_000_000, "wiki": 0}) == {
+        "web": 100,
+        "wiki": 0,
+    }
+
+
+def test_mixture_rebalance_matches_naive(spark):
+    from openccnet_spark.operators.curation import mixture_quotas, mixture_rebalance
+
+    rows = [
+        (i, ["web", "code", "wiki"][0 if i < 40 else (1 if i < 55 else 2)])
+        for i in range(64)
+    ]  # 40 web, 15 code, 9 wiki
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = {"web": 500_000, "code": 300_000, "wiki": 200_000}
+    got = sorted(
+        (r.doc_id, r.source) for r in mixture_rebalance(df, target).collect()
+    )
+    counts = {"web": 40, "code": 15, "wiki": 9}
+    quotas = mixture_quotas(counts, target)
+    want = []
+    for src, q in quotas.items():
+        ids = [d for d, s in rows if s == src]
+        ids.sort(key=lambda d: (_h60(f"mix:{d}"), d))
+        want += [(d, src) for d in ids[:q]]
+    assert got == sorted(want)
+    by_src = {s: sum(1 for _, s2 in got if s2 == s) for s in counts}
+    assert by_src == quotas  # the achieved mixture IS the quota vector
+
+
 def test_key60_matches_python(spark):
     df = spark.createDataFrame([(17,), (42,)], "doc_id long")
     for r in df.select("doc_id", key60_col("k:", "doc_id").alias("h")).collect():
