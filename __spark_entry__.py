@@ -988,6 +988,34 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM)
 
 
+_BLOOM_M_BITS = 1 << 10  # deliberately tiny so false positives are
+# actually exercised at sf0.01 (~62% fill, ~24% FP) and the oracle must
+# reproduce every one; the operator's scale default is 2^20
+
+
+def _q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup with a broadcast-Bloom prefilter: batch =
+    all documents, index = the 2/3 with doc_id % 3 != 0. bloom_hit is the
+    deterministic bitmap answer (the oracle replays every bit via IN-tests
+    on the index's position set — false positives included), is_new the
+    exact verdict; bloom misses are proven new with zero shuffle and only
+    the hit sliver touches the index (broadcast semi-join, index never
+    shuffles)."""
+    from openccnet_spark.operators.bloom import incremental_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    handles: list = []
+    out = incremental_exact_dedup(
+        docs,
+        docs.filter(F.col("doc_id") % 3 != 0),
+        m_bits=_BLOOM_M_BITS,
+        persist=True,
+        handles=handles,
+    )
+    out._persist_handles = handles  # released by bench after materialization
+    return out
+
+
 def _q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source-mixture rebalancing: subsample so the output
     is 40/30/20/10% of four sources — the largest total honoring every
@@ -1404,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_fraction": _armed(_q_quality_top_fraction),
         "quality_repetition": _armed(_q_quality_repetition),
         "mixture_rebalance": _armed(_q_mixture_rebalance),
+        "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1751,6 +1780,7 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
         "quality_top_fraction": _top_fraction_oracle(),
         "quality_repetition": _repetition_oracle(),
         "mixture_rebalance": _mixture_oracle(),
+        "dedup_bloom_prefilter": _bloom_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
             "case_id::INT AS case_id, op, output",
@@ -2441,6 +2471,16 @@ r AS (SELECT doc_id, lang, score,
 SELECT doc_id, lang, score FROM r
 WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)
 """
+
+
+def _bloom_oracle() -> str:
+    from openccnet_spark.operators.bloom import sql_incremental_exact
+
+    return sql_incremental_exact(
+        batch_where="TRUE",
+        index_where="doc_id % 3 <> 0",
+        m_bits=_BLOOM_M_BITS,
+    )
 
 
 def _mixture_oracle() -> str:

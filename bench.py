@@ -615,7 +615,7 @@ def main() -> int:
             "broadcast_join", "window_first_order", "antijoin_resume",
             "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
-            "dedup_incremental",
+            "dedup_incremental", "dedup_bloom_prefilter",
             "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
             "similarity_ivf", "similarity_ivf_sampled", "similarity_recall",
             "textstats",
