@@ -988,6 +988,22 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM)
 
 
+_PACK_WINDOW = 256
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concat-and-chop every document into
+    256-token windows in deterministic (hash, id) order. The exact global
+    prefix sum of token counts runs as the bucket decomposition (tiny
+    per-bucket histogram + broadcast below-offsets + per-bucket windows —
+    4096 parallel reducers, never one global sort); the oracle is the
+    naive single-window prefix sum over the same order."""
+    from openccnet_spark.operators.packing import pack_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_chunks(docs, _PACK_WINDOW)
+
+
 _BLOOM_M_BITS = 1 << 10  # deliberately tiny so false positives are
 # actually exercised at sf0.01 (~62% fill, ~24% FP) and the oracle must
 # reproduce every one; the operator's scale default is 2^20
@@ -1433,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _armed(_q_quality_repetition),
         "mixture_rebalance": _armed(_q_mixture_rebalance),
         "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
+        "pack_chunks": _armed(_q_pack_chunks),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1781,6 +1798,7 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
         "quality_repetition": _repetition_oracle(),
         "mixture_rebalance": _mixture_oracle(),
         "dedup_bloom_prefilter": _bloom_oracle(),
+        "pack_chunks": _pack_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
             "case_id::INT AS case_id, op, output",
@@ -2471,6 +2489,12 @@ r AS (SELECT doc_id, lang, score,
 SELECT doc_id, lang, score FROM r
 WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)
 """
+
+
+def _pack_oracle() -> str:
+    from openccnet_spark.operators.packing import sql_pack_chunks
+
+    return sql_pack_chunks(_PACK_WINDOW)
 
 
 def _bloom_oracle() -> str:
