@@ -991,6 +991,25 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_WINDOW = 256
 
 
+def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline in ONE plan: Gopher repetition gate
+    (narrow Arrow pass, lang/text carried through so no join back) ->
+    per-language top-30% quality gate (histogram cutoff + tie window) ->
+    sequence packing of the survivors (distributed exact prefix sum).
+    The oracle chains the same three specs as CTEs, so the composition —
+    not just each stage — is value-checked end to end."""
+    from openccnet_spark.operators.curation import top_fraction_select
+    from openccnet_spark.operators.packing import pack_chunks
+    from openccnet_spark.operators.repetition import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    rep = repetition_signals(docs, carry_cols=("lang", "text")).filter(
+        F.col("keep") == 1
+    )
+    gated = top_fraction_select(rep, frac_ppm=_TOP_FRAC_PPM, carry_cols=("text",))
+    return pack_chunks(gated, _PACK_WINDOW)
+
+
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concat-and-chop every document into
     256-token windows in deterministic (hash, id) order. The exact global
@@ -1450,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": _armed(_q_mixture_rebalance),
         "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
         "pack_chunks": _armed(_q_pack_chunks),
+        "curation_e2e": _armed(_q_curation_e2e),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -1799,6 +1819,7 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
         "mixture_rebalance": _mixture_oracle(),
         "dedup_bloom_prefilter": _bloom_oracle(),
         "pack_chunks": _pack_oracle(),
+        "curation_e2e": _curation_e2e_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
             "case_id::INT AS case_id, op, output",
@@ -2495,6 +2516,40 @@ def _pack_oracle() -> str:
     from openccnet_spark.operators.packing import sql_pack_chunks
 
     return sql_pack_chunks(_PACK_WINDOW)
+
+
+def _curation_e2e_oracle() -> str:
+    """The three stage specs chained as CTEs: repetition keep -> naive
+    per-language top-fraction rank -> naive single-window prefix sum."""
+    from openccnet_spark.operators import textstats as T
+    from openccnet_spark.operators.repetition import sql_repetition_signals
+
+    q = T.sql_quality_score_milli("coalesce(text, '')")
+    return f"""
+WITH rep AS ({sql_repetition_signals("documents")}),
+kept AS (SELECT d.doc_id, d.lang, d.text
+         FROM documents d JOIN rep ON rep.doc_id = d.doc_id AND rep.keep = 1),
+sc AS (SELECT doc_id, lang, ({q})::BIGINT AS score,
+              len(string_split(text, ' '))::BIGINT AS n_tokens,
+              ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT AS hkey
+       FROM kept),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM sc),
+sel AS (SELECT doc_id, n_tokens, hkey FROM r
+        WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY hkey, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_offset
+      FROM sel WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // {_PACK_WINDOW})::BIGINT AS first_chunk,
+       ((start_offset + n_tokens - 1) // {_PACK_WINDOW})::BIGINT AS last_chunk,
+       ((start_offset + n_tokens - 1) // {_PACK_WINDOW}
+        - start_offset // {_PACK_WINDOW} + 1)::BIGINT AS n_chunks
+FROM c
+"""
 
 
 def _bloom_oracle() -> str:

@@ -311,6 +311,7 @@ def top_fraction_select(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     score_col: Column | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Per-stratum top-fraction selection ("keep the best 30% of each
     language by quality score" — the C4/FineWeb-style adaptive gate):
@@ -329,14 +330,19 @@ def top_fraction_select(
     Identical to the naive per-stratum rank at any partitioning.
 
     ``score_col`` defaults to ``textstats.quality_score_milli(text)``.
-    Emits ``id_col, strata_col, score``.
+    Emits ``id_col, strata_col, score`` plus any ``carry_cols`` (input
+    columns passed through both branches so downstream stages need no
+    join back).
     """
     from .textstats import quality_score_milli
 
     if score_col is None:
         score_col = quality_score_milli(F.coalesce(F.col("text"), F.lit("")))
     scored = df.select(
-        F.col(id_col), F.col(strata_col), score_col.cast("long").alias("score")
+        F.col(id_col),
+        F.col(strata_col),
+        score_col.cast("long").alias("score"),
+        *[F.col(c) for c in carry_cols],
     )
     hist = scored.groupBy(strata_col, "score").agg(F.count(F.lit(1)).alias("cnt"))
     w_above = (
@@ -370,5 +376,5 @@ def top_fraction_select(
         .withColumn("rn", F.row_number().over(w_tie))
         .filter(F.col("rn") <= F.col("tie_quota"))
     )
-    cols = [id_col, strata_col, "score"]
+    cols = [id_col, strata_col, "score", *carry_cols]
     return kept_above.select(*cols).unionByName(ties.select(*cols))

@@ -105,18 +105,30 @@ def repetition_signals_py(text: str) -> dict[str, int]:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Per-document repetition signals: one narrow Arrow pass, no shuffle.
 
     Emits ``id_col`` + ``top{2,3,4}_ppm`` + ``dup{5,10}_ppm`` (BIGINT ppm)
-    + ``keep`` (INT 0/1 under :data:`REP_THRESHOLDS_PPM`).
+    + ``keep`` (INT 0/1 under :data:`REP_THRESHOLDS_PPM`). ``carry_cols``
+    pass through unchanged (so a downstream stage can consume the kept
+    rows without a join back to the source — the composition stays
+    narrow).
     """
     sig_cols = list(_SIGNAL_COLS)
+    carry_types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in carry_cols
+    }
     out_schema = (
         f"{id_col} long, "
         + ", ".join(f"{c} long" for c in sig_cols)
         + ", keep int"
+        + "".join(f", {c} {carry_types[c]}" for c in carry_cols)
     )
 
     def _signals(batches):
@@ -130,9 +142,13 @@ def repetition_signals(
                 for c in sig_cols:
                     rows[c].append(s[c])
                 rows["keep"].append(s["keep"])
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy() if c != text_col else list(pdf[c])
+            yield out
 
-    return df.select(id_col, text_col).mapInPandas(_signals, out_schema)
+    in_cols = [id_col, text_col] + [c for c in carry_cols if c not in (id_col, text_col)]
+    return df.select(*in_cols).mapInPandas(_signals, out_schema)
 
 
 def repetition_keep_expr(prefix: str = "") -> Column:

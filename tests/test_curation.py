@@ -194,6 +194,17 @@ def test_top_fraction_tie_break_is_id_order(spark):
     assert got == [1, 3]  # quota=2, all-tied stratum -> lowest ids win
 
 
+def test_top_fraction_carry_cols(spark, scored_docs):
+    rows, df = scored_docs
+    df2 = df.withColumn("payload", F.concat(F.lit("p"), F.col("doc_id")))
+    got = top_fraction_select(
+        df2, 500_000, score_col=F.col("score"), carry_cols=("payload",)
+    ).collect()
+    assert got and all(r.payload == f"p{r.doc_id}" for r in got)
+    plain = top_fraction_select(df, 500_000, score_col=F.col("score")).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in plain)
+
+
 def test_mixture_quotas_integer_math():
     from openccnet_spark.operators.curation import mixture_quotas
 

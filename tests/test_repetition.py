@@ -63,6 +63,16 @@ def test_plan_is_shuffle_free(spark):
     assert plan.count("ArrowEvalPython") == 0  # mapInPandas, not an eval UDF
 
 
+def test_carry_cols_pass_through(spark):
+    rows = [(i, t, f"lang{i % 2}") for i, t in _DOCS]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.lang, r.text)
+        for r in repetition_signals(df, carry_cols=("lang", "text")).collect()
+    }
+    assert got == {i: (l, t) for i, t, l in rows}
+
+
 def test_keep_expr_matches_embedded_flag(spark):
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     sig = repetition_signals(df).withColumn("keep2", repetition_keep_expr())
