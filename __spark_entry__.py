@@ -269,6 +269,17 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_doubled_docs(spark, sf_dir))
 
 
+def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage-level dedup: fixed 8-word passages, globally
+    first occurrence wins (min (doc_id, pidx)), documents rebuilt from
+    survivors. Doubled docs plant guaranteed full-document repeats; the
+    corpus' template-generated text supplies organic partial overlaps.
+    Oracle = the naive window form of the same rule."""
+    from openccnet_spark.operators.passages import passage_dedup
+
+    return passage_dedup(_doubled_docs(spark, sf_dir))
+
+
 def _mutant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + near-duplicates (each doc minus its last word); the
     mutation expression lives in dedup.append_word_dropped_mutants so the
@@ -1436,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_first_order": _armed(_q_window_first_order),
         "antijoin_resume": _armed(_q_antijoin_resume),
         "dedup_exact": _armed(_q_dedup_exact),
+        "dedup_passage": _armed(_q_dedup_passage),
         "dedup_exact_prehash": _armed(_q_dedup_exact_prehash),
         "dedup_minhash": _armed(_q_dedup_minhash),
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
@@ -1640,6 +1652,7 @@ WITH d AS (
 SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
 FROM d GROUP BY text
 """,
+        "dedup_passage": _passage_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -2119,6 +2132,17 @@ SELECT ([{', '.join(zhos)}])[pool_idx + 1]::INT AS zho,
        count(*) AS n_turns
 FROM t GROUP BY 1
 """
+
+
+def _passage_oracle() -> str:
+    """Naive window form of passage dedup over the doubled corpus."""
+    from openccnet_spark.operators.passages import sql_passage_dedup
+
+    doubled = (
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents)"
+    )
+    return sql_passage_dedup(doubled)
 
 
 def _dedup_minhash_oracle() -> str:

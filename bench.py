@@ -613,7 +613,8 @@ def main() -> int:
         for name in (
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
-            "dedup_exact", "dedup_exact_prehash", "dedup_minhash",
+            "dedup_exact", "dedup_exact_prehash", "dedup_passage",
+            "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
             "dedup_incremental", "dedup_bloom_prefilter",
             "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
