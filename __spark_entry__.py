@@ -888,6 +888,31 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest end-to-end (sources/warc.py, ISO 28500): documents are
+    packed distributedly into multi-record WARC blobs — one per
+    doc_id%32 bucket, odd buckets as per-record gzip members (the Common
+    Crawl layout) — then parsed back and HTML-extracted in ONE Python
+    stage. The oracle recomputes url/status/date/n_chars and the 60-bit
+    text hash straight from the documents table, so a header misparse,
+    gzip member boundary error, Content-Length off-by-one or entity
+    unescape bug hash-fails. Reference: OpenccNet/Program.cs reads plain
+    files; WARC is the training-pipeline member of that source family."""
+    from openccnet_spark.operators.bloom import hash60_expr
+    from openccnet_spark.sources.warc import records_from_blobs, synth_warc_blobs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    recs = records_from_blobs(synth_warc_blobs(docs), extract_text=True)
+    return recs.filter(F.col("warc_type") == "response").select(
+        F.split("target_uri", "/").getItem(4).cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "http_status",
+        "warc_date",
+        F.length("text").cast("long").alias("n_chars"),
+        hash60_expr("text").alias("text_h60"),
+    )
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (audiocodec: pure-Python RIFF/WAVE PCM parser):
     deterministic synthetic 8/16-bit mono/stereo WAVs are materialized per
@@ -1470,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": _armed(_q_quality_quantiles),
         "multimodal_features": _armed(_q_multimodal_features),
         "multimodal_decode": _armed(_q_multimodal_decode),
+        "warc_extract": _armed(_q_warc_extract),
         "multimodal_audio": _armed(_q_multimodal_audio),
         "multimodal_video": _armed(_q_multimodal_video),
         "decontaminate_ngram": _armed(_q_decontaminate_ngram),
@@ -1719,6 +1745,21 @@ LEFT JOIN sums b ON b.doc_id = i.doc_id AND b.c = 2
         # metadata from doc_id, per-channel sums by folding the sample
         # formula over a bounded (frame, channel) grid. Mono replicates
         # channel 0 (channel_sums contract, like gray images).
+        "warc_extract": r"""
+WITH d AS (
+  SELECT doc_id, coalesce(lang, 'und') AS lang,
+         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       'http://sf.test/' || lang || '/' || doc_id AS url,
+       200 AS http_status,
+       printf('2026-01-%02dT00:00:%02dZ', doc_id % 28 + 1, doc_id % 60)
+           AS warc_date,
+       length(t)::BIGINT AS n_chars,
+       ('0x' || substr(md5(t), 1, 15))::BIGINT AS text_h60
+FROM d
+""",
         "multimodal_audio": """
 WITH au AS (
   SELECT doc_id,

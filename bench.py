@@ -621,7 +621,8 @@ def main() -> int:
             "similarity_ivf", "similarity_ivf_sampled", "similarity_recall",
             "textstats",
             "vocab_topk", "quality_quantiles", "skew_join_priority",
-            "pdf_reflow_convert", "office_convert", "multimodal_decode",
+            "pdf_reflow_convert", "office_convert", "warc_extract",
+            "multimodal_decode",
             "multimodal_audio", "multimodal_video",
             "decontaminate_ngram", "sample_stratified", "budget_select",
             "quality_classifier", "quality_top_fraction", "quality_repetition",
