@@ -829,6 +829,37 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wnd).cast("int"))
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (operators/bpe.py): the corpus-sized work
+    is ONE map-side-combined word count; the driver transfer is the
+    v_max-bounded top-vocab (deterministic count-desc/word-asc order);
+    merge learning is greedy with a total-order tie-break, so the result
+    is bit-stable at any partitioning. The oracle retrains from scratch
+    in a self-contained naive Python implementation reading the same
+    parquet — a distributed-count error, tie-break drift or top-V cut
+    mismatch changes learned merges and hash-fails."""
+    from openccnet_spark.operators.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    out, _ = bpe_train(docs)
+    return out
+
+
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve: per-document token counts under the learned
+    merges, tokenized worker-side with a per-batch word memo (work is
+    bounded by distinct words per task — the Zipf head, not the token
+    stream). Serving merges lowest-rank-first; the oracle tokenizes by
+    SEQUENTIAL rank-order application — the two strategies are provably
+    equal (a rank-k merge only creates pairs of rank > k), so agreement
+    here pins that proof corpus-wide."""
+    from openccnet_spark.operators.bpe import bpe_train, token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    _, merges = bpe_train(docs)
+    return token_counts(docs, merges)
+
+
 def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language quality-score percentiles (p50/p90/p99) via the
     rank-at-ceil(p*n) definition — integer-exact in both engines (no
@@ -1492,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall_planted": _armed(_q_similarity_recall_planted),
         "textstats": _armed(_q_textstats),
         "vocab_topk": _armed(_q_vocab_topk),
+        "bpe_train": _armed(_q_bpe_train),
+        "bpe_tokenize": _armed(_q_bpe_tokenize),
         "quality_quantiles": _armed(_q_quality_quantiles),
         "multimodal_features": _armed(_q_multimodal_features),
         "multimodal_decode": _armed(_q_multimodal_decode),
@@ -2015,6 +2048,8 @@ def _optional_oracles() -> dict[str, str]:
         ("similarity_recall", _similarity_recall_oracle),
         ("similarity_recall_planted", _similarity_recall_planted_oracle),
         ("quality_classifier", _quality_classifier_oracle),
+        ("bpe_train", _bpe_train_oracle),
+        ("bpe_tokenize", _bpe_tokenize_oracle),
     ):
         try:
             out[name] = builder()
@@ -2028,6 +2063,50 @@ def _optional_oracles() -> dict[str, str]:
             else:
                 raise
     return out
+
+
+def _bpe_replay():
+    """Shared input for both BPE oracles: doc rows + the self-contained
+    naive retraining (operators/bpe.py train_replay_py — no code shared
+    with the Spark path's counting, tie-break or application)."""
+    import duckdb
+
+    from openccnet_spark.operators.bpe import train_replay_py
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, coalesce(text, '') FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    merges, tokens_of = train_replay_py([t for _, t in rows])
+    return rows, merges, tokens_of
+
+
+def _bpe_train_oracle() -> str:
+    """Independent naive retrain emitted as literals — a distributed-count
+    error, top-V cut or tie-break drift changes the merge table."""
+    _, merges, _ = _bpe_replay()
+    return _values_oracle(
+        merges,
+        "merge_rank::INT AS merge_rank, lhs, rhs, pair_count::BIGINT AS pair_count",
+        "merge_rank, lhs, rhs, pair_count",
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    """Per-doc token counts under the naive replay's merges, tokenized by
+    sequential rank-order application (vs serving's lowest-rank-first)."""
+    rows, _, tokens_of = _bpe_replay()
+    vals = []
+    for doc_id, text in rows:
+        ws = [w for w in text.split(" ") if w]
+        vals.append((int(doc_id), len(ws), sum(tokens_of(w) for w in ws)))
+    return _values_oracle(
+        vals,
+        "doc_id::BIGINT AS doc_id, n_words::BIGINT AS n_words, "
+        "n_tokens::BIGINT AS n_tokens",
+        "doc_id, n_words, n_tokens",
+    )
 
 
 def _quality_classifier_oracle() -> str:

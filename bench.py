@@ -620,7 +620,8 @@ def main() -> int:
             "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
             "similarity_ivf", "similarity_ivf_sampled", "similarity_recall",
             "textstats",
-            "vocab_topk", "quality_quantiles", "skew_join_priority",
+            "vocab_topk", "bpe_train", "bpe_tokenize",
+            "quality_quantiles", "skew_join_priority",
             "pdf_reflow_convert", "office_convert", "warc_extract",
             "multimodal_decode",
             "multimodal_audio", "multimodal_video",
