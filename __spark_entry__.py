@@ -1283,6 +1283,73 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/temporal.py): each purchase gets the user's
+    most recent prior-or-simultaneous view. No join node in the plan —
+    one shuffle on user_id, then a running last(ignorenulls) carry down
+    each user's merged timeline (kdb aj / DuckDB ASOF semantics,
+    parallel per key). The oracle IS DuckDB's native ASOF LEFT JOIN."""
+    from openccnet_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "t_us",
+        F.col("v_milli").alias("view_value_milli"),
+    )
+    j = asof_join(purchases, views, keys=["user_id"], ts_col="t_us")
+    return j.select(
+        "event_id", "user_id",
+        F.col("r_view_event_id").alias("view_event_id"),
+        F.col("r_view_value_milli").alias("view_value_milli"),
+        (F.col("t_us") - F.col("r_t_us")).alias("gap_us"),
+    )
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join (operators/temporal.py): all of a user's events inside
+    [signup, signup + 15 min), rolled up per anchor. The naive form is an
+    inequality join (broadcast nested loop — a 100 TB scale-killer);
+    here the anchor interval explodes to its <= 2 covered 15-minute
+    buckets and candidates come from a plain shuffled equi-join on
+    (user_id, bucket) with the exact predicate as a residual filter —
+    plan-pinned nested-loop-free in tests. Sum is per-row-floored milli
+    (integer, order-free); the oracle is the naive inequality join."""
+    from openccnet_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    win_us = 15 * 60 * 1_000_000
+    anchors = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"), "user_id",
+        F.col("t_us").alias("s_us"), (F.col("t_us") + win_us).alias("e_us"),
+    )
+    pairs = range_join(
+        anchors, ev.drop("event_type"), keys=["user_id"],
+        start_col="s_us", end_col="e_us", ts_col="t_us", bucket_width=win_us,
+    ).filter(F.col("r_event_id") != F.col("anchor_id"))
+    agg = pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("r_v_milli").alias("sum_v"),
+        F.max(F.col("r_t_us") - F.col("s_us")).alias("max_gap_us"),
+    )
+    return anchors.join(agg, "anchor_id", "left").select(
+        "anchor_id", "user_id",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_v", F.lit(0)).cast("long").alias("sum_value_milli"),
+        F.col("max_gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user via windows."""
     from pyspark.sql.window import Window
@@ -1550,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_dict_convert": _armed(_q_custom_dict),
         "events_window": _armed(_q_events_window),
         "events_sessionize": _armed(_q_events_sessionize),
+        "events_asof_join": _armed(_q_events_asof_join),
+        "events_range_join": _armed(_q_events_range_join),
         "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
         "streaming_quality_filter": _armed(_q_streaming_quality_filter),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
@@ -1927,6 +1996,30 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
             "case_id::INT AS case_id, output",
             "case_id, output",
         ),
+        "events_asof_join": """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       v.event_id AS view_event_id,
+       floor(v.value * 1000)::BIGINT AS view_value_milli,
+       (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+        "events_range_join": """
+WITH a AS (SELECT event_id AS anchor_id, user_id, ts FROM events
+           WHERE event_type = 'signup')
+SELECT a.anchor_id, a.user_id,
+       count(e.event_id)::BIGINT AS n_events,
+       coalesce(sum(floor(e.value * 1000)::BIGINT), 0)::BIGINT
+           AS sum_value_milli,
+       max(epoch_us(e.ts) - epoch_us(a.ts))::BIGINT AS max_gap_us
+FROM a LEFT JOIN events e
+  ON e.user_id = a.user_id AND e.ts >= a.ts
+ AND e.ts < a.ts + INTERVAL 15 MINUTE AND e.event_id != a.anchor_id
+GROUP BY a.anchor_id, a.user_id
+""",
         "events_window": """
 SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_epoch,
        event_type,

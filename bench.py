@@ -613,6 +613,7 @@ def main() -> int:
         for name in (
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
+            "events_asof_join", "events_range_join",
             "dedup_exact", "dedup_exact_prehash", "dedup_passage",
             "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
