@@ -1350,6 +1350,38 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch.py): the sketch
+    ingests weight-compressed distinct words, its counter table is
+    d*w-bounded (4096 cells regardless of corpus size — sketch merging
+    is the same elementwise sum), point estimates broadcast the sketch.
+    The oracle rebuilds identical counters via the shared 60-bit hash
+    family; est >= exact is the CMS guarantee, asserted in tests."""
+    from openccnet_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_read(spark, sf_dir, "documents"))
+
+
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (operators/hypertable.py): raw events
+    aggregate ONCE at 15-min grain; hourly re-aggregates the 15-min
+    OUTPUT, daily the hourly — each cascade input is bucket-count-sized,
+    never corpus-sized. Values floor to integer milli at the base level
+    so every level is order-free; the oracle computes the DAILY level
+    directly from raw events, pinning re-aggregation associativity."""
+    from openccnet_spark.operators.hypertable import rollup_cascade
+
+    daily = rollup_cascade(_read(spark, sf_dir, "events"))[-1]
+    return daily.select(
+        (F.col("bucket") * 86400).cast("long").alias("day_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_v_milli").cast("long").alias("sum_v_milli"),
+        F.col("min_v_milli").cast("long").alias("min_v_milli"),
+        F.col("max_v_milli").cast("long").alias("max_v_milli"),
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user via windows."""
     from pyspark.sql.window import Window
@@ -1619,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _armed(_q_events_sessionize),
         "events_asof_join": _armed(_q_events_asof_join),
         "events_range_join": _armed(_q_events_range_join),
+        "sketch_heavy_hitters": _armed(_q_sketch_heavy_hitters),
+        "hypertable_rollup": _armed(_q_hypertable_rollup),
         "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
         "streaming_quality_filter": _armed(_q_streaming_quality_filter),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
@@ -2007,6 +2041,16 @@ SELECT p.event_id, p.user_id,
        (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """,
+        "sketch_heavy_hitters": _sketch_heavy_hitters_oracle(),
+        "hypertable_rollup": """
+SELECT ((floor(epoch(ts))::BIGINT // 86400) * 86400)::BIGINT AS day_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 1000)::BIGINT)::BIGINT AS sum_v_milli,
+       min(floor(value * 1000)::BIGINT)::BIGINT AS min_v_milli,
+       max(floor(value * 1000)::BIGINT)::BIGINT AS max_v_milli
+FROM events GROUP BY 1, 2
+""",
         "events_range_join": """
 WITH a AS (SELECT event_id AS anchor_id, user_id, ts FROM events
            WHERE event_type = 'signup')
@@ -2345,6 +2389,12 @@ SELECT ([{', '.join(zhos)}])[pool_idx + 1]::INT AS zho,
        count(*) AS n_turns
 FROM t GROUP BY 1
 """
+
+
+def _sketch_heavy_hitters_oracle() -> str:
+    from openccnet_spark.operators.sketch import sql_heavy_hitters
+
+    return sql_heavy_hitters()
 
 
 def _passage_oracle() -> str:
