@@ -1090,6 +1090,22 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, _PACK_WINDOW)
 
 
+_SHARD_TOKENS = 1000
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + manifest
+    (operators/shards.py): shard = the packing chunk of each doc's exact
+    global start offset (doc-granular, same-membership on any
+    partitioning — the property a resumable training loader needs);
+    manifest digests are order-free bit_xor of 60-bit doc hashes. The
+    oracle is the naive single-window prefix sum grouped identically."""
+    from openccnet_spark.operators.shards import shard_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    return shard_manifest(docs, _SHARD_TOKENS)
+
+
 _BLOOM_M_BITS = 1 << 10  # deliberately tiny so false positives are
 # actually exercised at sf0.01 (~62% fill, ~24% FP) and the oracle must
 # reproduce every one; the operator's scale default is 2^20
@@ -1639,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": _armed(_q_mixture_rebalance),
         "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
         "pack_chunks": _armed(_q_pack_chunks),
+        "shard_manifest": _armed(_q_shard_manifest),
         "curation_e2e": _armed(_q_curation_e2e),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
@@ -2009,6 +2026,7 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
         "mixture_rebalance": _mixture_oracle(),
         "dedup_bloom_prefilter": _bloom_oracle(),
         "pack_chunks": _pack_oracle(),
+        "shard_manifest": _shard_manifest_oracle(),
         "curation_e2e": _curation_e2e_oracle(),
         "st_ts_goldens": _values_oracle(
             [(i, op, e) for i, op, _t, e in _ST_TS_GOLDENS],
@@ -2797,6 +2815,12 @@ r AS (SELECT doc_id, lang, score,
 SELECT doc_id, lang, score FROM r
 WHERE rn <= least(n, (n * {_TOP_FRAC_PPM} + 999999) // 1000000)
 """
+
+
+def _shard_manifest_oracle() -> str:
+    from openccnet_spark.operators.shards import sql_shard_manifest
+
+    return sql_shard_manifest(_SHARD_TOKENS)
 
 
 def _pack_oracle() -> str:

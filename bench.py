@@ -629,7 +629,8 @@ def main() -> int:
             "multimodal_audio", "multimodal_video",
             "decontaminate_ngram", "sample_stratified", "budget_select",
             "quality_classifier", "quality_top_fraction", "quality_repetition",
-            "mixture_rebalance", "pack_chunks", "curation_e2e",
+            "mixture_rebalance", "pack_chunks", "shard_manifest",
+            "curation_e2e",
             "streaming_dedup_replay", "streaming_quality_filter",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
