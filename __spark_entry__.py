@@ -1378,6 +1378,31 @@ def _q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_read(spark, sf_dir, "documents"))
 
 
+def _q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-word sketch (operators/hll.py): registers are
+    built per corpus half and MERGED (elementwise max) while the oracle
+    computes the register file directly from all words — a merge that is
+    not union-equivalent hash-fails. Ingest pre-aggregates to the
+    512-register grain (map-side combine bounds every exchange at m rows
+    per partition regardless of corpus size); the returned histogram pins
+    every register's content via an order-free xor digest, not just the
+    final estimate."""
+    from openccnet_spark.operators.hll import hll_histogram, hll_merge, hll_registers
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def words(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("w")
+        ).filter(F.col("w") != "")
+
+    h0 = hll_registers(words(docs.filter(F.col("doc_id") % 2 == 0)), "w")
+    h1 = hll_registers(words(docs.filter(F.col("doc_id") % 2 == 1)), "w")
+    return hll_histogram(hll_merge(h0, h1))
+
+
 def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate cascade (operators/hypertable.py): raw events
     aggregate ONCE at 15-min grain; hourly re-aggregates the 15-min
@@ -1669,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _armed(_q_events_asof_join),
         "events_range_join": _armed(_q_events_range_join),
         "sketch_heavy_hitters": _armed(_q_sketch_heavy_hitters),
+        "sketch_hll_distinct": _armed(_q_sketch_hll_distinct),
         "hypertable_rollup": _armed(_q_hypertable_rollup),
         "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
         "streaming_quality_filter": _armed(_q_streaming_quality_filter),
@@ -2060,6 +2086,7 @@ SELECT p.event_id, p.user_id,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """,
         "sketch_heavy_hitters": _sketch_heavy_hitters_oracle(),
+        "sketch_hll_distinct": _sketch_hll_oracle(),
         "hypertable_rollup": """
 SELECT ((floor(epoch(ts))::BIGINT // 86400) * 86400)::BIGINT AS day_epoch,
        event_type,
@@ -2413,6 +2440,18 @@ def _sketch_heavy_hitters_oracle() -> str:
     from openccnet_spark.operators.sketch import sql_heavy_hitters
 
     return sql_heavy_hitters()
+
+
+def _sketch_hll_oracle() -> str:
+    """Direct (unmerged) register file from ALL words — pins the Spark
+    side's two-half merge as union-equivalent."""
+    from openccnet_spark.operators.hll import sql_hll_histogram
+
+    words = (
+        "(SELECT w FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w"
+        " FROM documents) u WHERE w <> '') s"
+    )
+    return sql_hll_histogram("w", words)
 
 
 def _passage_oracle() -> str:

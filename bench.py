@@ -614,7 +614,7 @@ def main() -> int:
             "quality_documents", "metrics_rollup", "filter_project",
             "broadcast_join", "window_first_order", "antijoin_resume",
             "events_asof_join", "events_range_join",
-            "sketch_heavy_hitters", "hypertable_rollup",
+            "sketch_heavy_hitters", "sketch_hll_distinct", "hypertable_rollup",
             "dedup_exact", "dedup_exact_prehash", "dedup_passage",
             "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
