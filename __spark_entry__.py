@@ -1403,6 +1403,55 @@ def _q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_histogram(hll_merge(h0, h1))
 
 
+def _q_conv_fold_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-turn folding (operators/conversations.py): tool turns merge
+    into the assistant and consecutive same-role runs collapse via ONE
+    JVM aggregate fold over the per-conv sorted array — the text payload
+    shuffles exactly once on conv_id (conversation-bounded state). The
+    oracle is the independent lag-window/string_agg formulation."""
+    from openccnet_spark.operators.conversations import fold_tool_turns
+
+    return fold_tool_turns(spark_transcripts(spark, n_conv_for_sf(sf_dir)))
+
+
+def _q_conv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level quality gate: per-turn keep labels from the
+    real pipeline aggregate to a per-conv decision (integer-exact kept
+    fraction, no-assistant beats low-fraction). Pure groupBy counters —
+    the exchange carries four scalars per conversation."""
+    from openccnet_spark.operators.conversations import conversation_gate
+
+    df = spark_transcripts(spark, n_conv_for_sf(sf_dir))
+    labeled = quality_filter(df, config="t2s", salt_partitions=32).select(
+        "conv_id", "role", "keep"
+    )
+    return conversation_gate(labeled)
+
+
+def _q_conv_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conversation dedup: ordered length-prefixed (role, text)
+    serialization -> 60-bit fingerprint -> min-conv_id election. After
+    the one conv_id shuffle everything exchanged is scalar-per-conv; the
+    synthetic corpus is heavily duplicated (~3000 convs -> ~600 distinct
+    at sf0.01), so a wrong ordering or serialization hash-fails loudly."""
+    from openccnet_spark.operators.conversations import conversation_fingerprints
+
+    return conversation_fingerprints(spark_transcripts(spark, n_conv_for_sf(sf_dir)))
+
+
+def _q_conv_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: fold tool turns, then serialize each conversation to
+    one <|role|>-tagged training string (the packing.pack_chunks input).
+    The oracle nests the fold SQL inside the render SQL."""
+    from openccnet_spark.operators.conversations import (
+        fold_tool_turns,
+        render_chat_template,
+    )
+
+    folded = fold_tool_turns(spark_transcripts(spark, n_conv_for_sf(sf_dir)))
+    return render_chat_template(folded)
+
+
 def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate cascade (operators/hypertable.py): raw events
     aggregate ONCE at 15-min grain; hourly re-aggregates the 15-min
@@ -1699,6 +1748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
         "streaming_quality_filter": _armed(_q_streaming_quality_filter),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
+        "conv_fold_tools": _armed(_q_conv_fold_tools),
+        "conv_gate": _armed(_q_conv_gate),
+        "conv_dedup_exact": _armed(_q_conv_dedup_exact),
+        "conv_render": _armed(_q_conv_render),
         "topk_customers": _armed(_q_topk_customers),
         "shipping_priority": _armed(_q_shipping_priority),
         "nation_volume": _armed(_q_nation_volume),
@@ -2135,6 +2188,10 @@ FROM g GROUP BY user_id
 """,
         "streaming_dedup_replay": _streaming_replay_oracle("sf0.01"),
         "zho_check_transcripts": _zho_transcripts_oracle("sf0.01"),
+        "conv_fold_tools": _conv_fold_oracle("sf0.01"),
+        "conv_gate": _conv_gate_oracle("sf0.01"),
+        "conv_dedup_exact": _conv_dedup_oracle("sf0.01"),
+        "conv_render": _conv_render_oracle("sf0.01"),
         "shipping_priority": """
 SELECT l_orderkey,
        epoch(o_orderdate)::BIGINT AS orderdate_epoch,
@@ -2440,6 +2497,66 @@ def _sketch_heavy_hitters_oracle() -> str:
     from openccnet_spark.operators.sketch import sql_heavy_hitters
 
     return sql_heavy_hitters()
+
+
+def _conv_fold_oracle(sf_dir_sf: str) -> str:
+    from openccnet_spark.operators.conversations import sql_fold_tool_turns
+
+    t = f"(SELECT * FROM ({transcripts_sql(n_conv_for_sf(sf_dir_sf))}) raw) tt"
+    return sql_fold_tool_turns(t)
+
+
+def _conv_gate_oracle(sf_dir_sf: str) -> str:
+    """Pool-literal per-turn keep labels (the reference path) aggregated
+    to the gate decision in SQL — replays conversation_gate exactly."""
+    cc = Converter()
+    keeps = [
+        "true" if reference_label(pool_text(i), "t2s", converter=cc)["keep"] else "false"
+        for i in range(len(POOL))
+    ]
+    n_conv = n_conv_for_sf(sf_dir_sf)
+    return f"""
+WITH t AS ({transcripts_sql(n_conv)}),
+lab AS (
+  SELECT conv_id,
+         ([{', '.join(keeps)}])[pool_idx + 1] AS keep,
+         turn_idx % 3 = 1 AS is_assistant
+  FROM t
+), agg AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         sum(keep::INT)::BIGINT AS n_kept,
+         sum((keep AND is_assistant)::INT)::BIGINT AS n_assistant_kept
+  FROM lab GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_kept, n_assistant_kept,
+       (n_kept * 1000 // n_turns)::BIGINT AS kept_milli,
+       CASE WHEN n_assistant_kept < 1 THEN false
+            WHEN n_kept * 1000 // n_turns < 600 THEN false
+            ELSE true END AS conv_keep,
+       CASE WHEN n_assistant_kept < 1 THEN 'no_assistant'
+            WHEN n_kept * 1000 // n_turns < 600 THEN 'low_kept_fraction'
+            ELSE 'none' END AS drop_reason
+FROM agg
+"""
+
+
+def _conv_dedup_oracle(sf_dir_sf: str) -> str:
+    from openccnet_spark.operators.conversations import sql_conversation_fingerprints
+
+    t = f"(SELECT * FROM ({transcripts_sql(n_conv_for_sf(sf_dir_sf))}) raw) tt"
+    return sql_conversation_fingerprints(t)
+
+
+def _conv_render_oracle(sf_dir_sf: str) -> str:
+    """Render SQL nested over the fold SQL — same composition as the
+    Spark query."""
+    from openccnet_spark.operators.conversations import (
+        sql_fold_tool_turns,
+        sql_render_chat_template,
+    )
+
+    t = f"(SELECT * FROM ({transcripts_sql(n_conv_for_sf(sf_dir_sf))}) raw) tt"
+    return sql_render_chat_template(f"({sql_fold_tool_turns(t)}) folded")
 
 
 def _sketch_hll_oracle() -> str:

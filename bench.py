@@ -632,6 +632,7 @@ def main() -> int:
             "mixture_rebalance", "pack_chunks", "shard_manifest",
             "curation_e2e",
             "streaming_dedup_replay", "streaming_quality_filter",
+            "conv_fold_tools", "conv_gate", "conv_dedup_exact", "conv_render",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
             queries[name] = round(dt, 3)
