@@ -1403,6 +1403,25 @@ def _q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_histogram(hll_merge(h0, h1))
 
 
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup over the planted
+    doubled corpus (every vector has an exact copy at id+100000, so a
+    wrong cluster assignment, missed pair or wrong smallest-id election
+    hash-fails). Training is the distributed deterministic k-means; the
+    oracle replays it bit-exactly and re-derives clusters, guard, and
+    carried-norm cosine in SQL."""
+    from openccnet_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    handles: list = []
+    out = semantic_dedup(doubled, threshold_milli=990, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
+
+
 def _q_conv_fold_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-turn folding (operators/conversations.py): tool turns merge
     into the assistant and consecutive same-role runs collapse via ONE
@@ -1704,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
         "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
+        "dedup_semantic": _armed(_q_dedup_semantic),
         "similarity_topk": _armed(_q_similarity_topk),
         "similarity_ann": _armed(_q_similarity_ann),
         "similarity_ivf": _armed(_q_similarity_ivf),
@@ -2275,6 +2295,32 @@ FROM d GROUP BY text
     }
 
 
+def _dedup_semantic_oracle() -> str:
+    """Replay the distributed k-means on the doubled corpus, then
+    re-derive cluster assignment, guard, and carried-norm cosine pairs in
+    SQL (sql_semantic_dedup)."""
+    import duckdb
+    import numpy as np
+
+    from openccnet_spark.operators.similarity import (
+        ivf_centroids_replay,
+        sql_semantic_dedup,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    base = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in base] + [r[0] + 100000 for r in base]
+    vecs = [list(r[1]) for r in base] * 2
+    centroids = ivf_centroids_replay(ids, np.array(vecs, dtype=np.float64))
+    src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings) e"
+    )
+    return sql_semantic_dedup(src, centroids, threshold_milli=990)
+
+
 def _optional_oracles() -> dict[str, str]:
     """Oracles whose BUILDERS need local data (the IVF centroids come from
     the sf0.01 parquet itself). If that read fails — fixtures elsewhere,
@@ -2284,6 +2330,7 @@ def _optional_oracles() -> dict[str, str]:
     for name, builder in (
         ("similarity_ivf", _similarity_ivf_oracle),
         ("similarity_ivf_sampled", lambda: _similarity_ivf_oracle(sample_mod=4)),
+        ("dedup_semantic", _dedup_semantic_oracle),
         ("similarity_recall", _similarity_recall_oracle),
         ("similarity_recall_planted", _similarity_recall_planted_oracle),
         ("quality_classifier", _quality_classifier_oracle),

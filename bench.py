@@ -619,7 +619,8 @@ def main() -> int:
             "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
             "dedup_incremental", "dedup_bloom_prefilter",
-            "dedup_embedding_lsh", "similarity_topk", "similarity_ann",
+            "dedup_embedding_lsh", "dedup_semantic",
+            "similarity_topk", "similarity_ann",
             "similarity_ivf", "similarity_ivf_sampled", "similarity_recall",
             "textstats",
             "vocab_topk", "bpe_train", "bpe_tokenize",

@@ -458,7 +458,11 @@ def _ivf_dots_col(vec_col, centroids: np.ndarray):
 
 
 def _ivf_tagged_frame(
-    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    with_norm: bool = False,
 ) -> DataFrame:
     """(id, vector, cluster) in ONE vectorized Arrow stage — the
     expression form (``_ivf_dots_col``, kept as the oracle's documentation
@@ -479,16 +483,21 @@ def _ivf_tagged_frame(
             xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ds = _fold_dots_np(xs, centroids)  # (n, k)
             cluster = np.argmax(ds, axis=1) + 1  # first max, like the SQL
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: list(pdf[vec_col]),
-                    "cluster": cluster,
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                vec_col: list(pdf[vec_col]),
+                "cluster": cluster,
+            }
+            if with_norm:
+                # fold-ordered norm (cumsum == the F.aggregate fold ==
+                # sql_norm) — carried so per-pair cosine downstream is
+                # dot/(na*nb), same as lsh_tagged_frame
+                out["norm"] = np.sqrt(np.cumsum(xs * xs, axis=1)[:, -1])
+            yield pd.DataFrame(out)
 
+    norm_field = ", norm double" if with_norm else ""
     return df.select(id_col, vec_col).mapInPandas(
-        _tag, f"{id_col} long, {vec_col} {vec_type}, cluster long"
+        _tag, f"{id_col} long, {vec_col} {vec_type}, cluster long{norm_field}"
     )
 
 
@@ -682,6 +691,145 @@ def lsh_near_duplicates(
         .select("a", "b", "cos_milli")
         .distinct()
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold_milli: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = IVF_CLUSTERS,
+    iters: int = IVF_ITERS,
+    sample_mod: int = 1,
+    max_cluster_rows: int = 8192,
+    handles: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster-scoped
+    embedding near-dup removal (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication").
+
+    Where LSH buckets catch near-IDENTICAL directions (cos >= ~0.99),
+    cluster scoping works at lower thresholds (0.90-0.95) that an
+    8-bit hyperplane bucket would shatter: candidates are all pairs
+    within the same IVF cluster, so semantically-similar-but-not-
+    colinear pairs still meet. Pipeline:
+
+    1. centroids = the repo's distributed deterministic spherical
+       k-means (order-free integer sums; ``sample_mod`` bounds training
+       cost at corpus scale).
+    2. ONE Arrow tagging pass assigns every vector its first-max
+       cluster and carries the fold-ordered norm.
+    3. Within-cluster self-join on the cluster id (the only join key —
+       never all-pairs); ``max_cluster_rows`` guards a degenerate
+       cluster from re-creating O(n^2), same aggregate + broadcast
+       anti-join shape as the LSH hot-bucket guard (a guarded-out
+       cluster keeps its rows, just unpaired — the oracle replicates).
+    4. Verify = dot/(na*nb) (one fold per pair), greedy smaller-id-wins:
+       a row is a duplicate iff some smaller id in its cluster scores
+       >= threshold; ``dup_of`` = the smallest such id.
+
+    Scale shape: the exchanges carry (cluster, id, vec, norm) once for
+    the join and scalars after scoring; every id lands in EXACTLY one
+    cluster (unlike the 8-table LSH explode) so no distinct is needed.
+    Output: (id, cluster, is_dup, dup_of).
+    """
+    centroids = ivf_train_distributed(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        iters=iters,
+        sample_mod=sample_mod,
+        handles=handles,
+    )
+    # tagged feeds the guard count, both join sides and the final output
+    # join — persist so the Arrow stage runs once; caller releases via
+    # handles
+    tagged = _ivf_tagged_frame(df, id_col, vec_col, centroids, with_norm=True)
+    tagged = tagged.persist()
+    if handles is not None:
+        handles.append(tagged)
+    sized = oversized_bucket_filter(tagged, "cluster", max_cluster_rows)
+    a = sized.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"), "cluster",
+    )
+    b = sized.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"), "cluster",
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_milli",
+            F.floor(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1000
+            ).cast("long"),
+        )
+        .filter(F.col("cos_milli") >= threshold_milli)
+        .groupBy("b")
+        .agg(F.min("a").alias("dup_of"))
+        .withColumnRenamed("b", id_col)
+    )
+    return (
+        tagged.select(id_col, "cluster")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+    )
+
+
+def sql_semantic_dedup(
+    src: str,
+    centroids: np.ndarray,
+    threshold_milli: int = 950,
+    max_cluster_rows: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ``semantic_dedup`` given the replayed centroids
+    (``ivf_centroids_replay``): same first-max cluster rule
+    (list_indexof/list_max over the identical left-to-right dot folds),
+    same guard, same carried-norm cosine, same smallest-id election."""
+
+    def dot(i: int) -> str:
+        terms = " + ".join(
+            f"{vec_col}[{d + 1}]::DOUBLE * {float(centroids[i, d])!r}"
+            for d in range(dim)
+        )
+        return f"({terms})"
+
+    ds = ",\n         ".join(dot(i) for i in range(centroids.shape[0]))
+    pair_dot = sql_dot(f"x.{vec_col}", f"y.{vec_col}", dim)
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {vec_col}, list_value({ds}) AS ds FROM {src}
+), t AS (
+  SELECT {id_col}, {vec_col},
+         list_indexof(ds, list_max(ds)) AS cluster,
+         {sql_norm(vec_col, dim)} AS norm
+  FROM b
+), sized AS (
+  SELECT * FROM t WHERE cluster IN (
+    SELECT cluster FROM t GROUP BY cluster
+    HAVING count(*) <= {max_cluster_rows})
+), d AS (
+  SELECT y.{id_col} AS dup_id, min(x.{id_col})::BIGINT AS dup_of
+  FROM sized x JOIN sized y
+    ON x.cluster = y.cluster AND x.{id_col} < y.{id_col}
+  WHERE floor({pair_dot} / (x.norm * y.norm) * 1000) >= {threshold_milli}
+  GROUP BY y.{id_col}
+)
+SELECT t.{id_col}, t.cluster::BIGINT AS cluster,
+       d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM t LEFT JOIN d ON t.{id_col} = d.dup_id
+"""
 
 
 def sql_dot(a: str, b: str, dim: int = 64) -> str:
