@@ -1403,6 +1403,32 @@ def _q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_histogram(hll_merge(h0, h1))
 
 
+_DSIR_FRAC_PPM = 250000
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): carve the
+    zh-like quarter out of the corpus. Feature counts are bucket-bounded
+    aggregations (two <=4096-row collects), the log-ratio weight solve is
+    driver-side milli-quantized integers both engines consume, scoring is
+    a broadcast-join integer dot, and the selection is the exact-rank
+    top-fraction over the clamped bounded-domain average. The oracle
+    recounts features independently in Python and replays everything."""
+    from openccnet_spark.operators.dsir import (
+        bucket_counts,
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = {r["bucket"]: r["cnt"] for r in bucket_counts(docs).collect()}
+    tgt = {
+        r["bucket"]: r["cnt"]
+        for r in bucket_counts(docs.filter(F.col("lang") == "zh")).collect()
+    }
+    return dsir_select(docs, dsir_weights(tgt, raw), frac_ppm=_DSIR_FRAC_PPM)
+
+
 def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-scoped embedding dedup over the planted
     doubled corpus (every vector has an exact copy at id+100000, so a
@@ -1741,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _armed(_q_multimodal_audio),
         "multimodal_video": _armed(_q_multimodal_video),
         "decontaminate_ngram": _armed(_q_decontaminate_ngram),
+        "dsir_select": _armed(_q_dsir_select),
         "sample_stratified": _armed(_q_sample_stratified),
         "budget_select": _armed(_q_budget_select),
         "quality_classifier": _armed(_q_quality_classifier),
@@ -2295,6 +2322,27 @@ FROM d GROUP BY text
     }
 
 
+def _dsir_select_oracle() -> str:
+    """Independent replay: recount features from the parquet in scalar
+    Python, rebuild the identical integer weight table, re-derive scores
+    and the exact-rank selection in SQL."""
+    import duckdb
+
+    from openccnet_spark.operators.dsir import (
+        dsir_weights,
+        py_bucket_counts,
+        sql_dsir_select,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    raw = py_bucket_counts([t for _l, t in rows])
+    tgt = py_bucket_counts([t for l, t in rows if l == "zh"])
+    return sql_dsir_select("documents", dsir_weights(tgt, raw), _DSIR_FRAC_PPM)
+
+
 def _dedup_semantic_oracle() -> str:
     """Replay the distributed k-means on the doubled corpus, then
     re-derive cluster assignment, guard, and carried-norm cosine pairs in
@@ -2331,6 +2379,7 @@ def _optional_oracles() -> dict[str, str]:
         ("similarity_ivf", _similarity_ivf_oracle),
         ("similarity_ivf_sampled", lambda: _similarity_ivf_oracle(sample_mod=4)),
         ("dedup_semantic", _dedup_semantic_oracle),
+        ("dsir_select", _dsir_select_oracle),
         ("similarity_recall", _similarity_recall_oracle),
         ("similarity_recall_planted", _similarity_recall_planted_oracle),
         ("quality_classifier", _quality_classifier_oracle),

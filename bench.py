@@ -628,7 +628,8 @@ def main() -> int:
             "pdf_reflow_convert", "office_convert", "warc_extract",
             "multimodal_decode",
             "multimodal_audio", "multimodal_video",
-            "decontaminate_ngram", "sample_stratified", "budget_select",
+            "decontaminate_ngram", "dsir_select",
+            "sample_stratified", "budget_select",
             "quality_classifier", "quality_top_fraction", "quality_repetition",
             "mixture_rebalance", "pack_chunks", "shard_manifest",
             "curation_e2e",
