@@ -1403,6 +1403,31 @@ def _q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_histogram(hll_merge(h0, h1))
 
 
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup pairs -> components ->
+    cluster-keyed deterministic 90/5/5 draw, so a document and its
+    near-duplicates can never straddle splits (the eval-leakage bug).
+    The oracle walks the same components via the recursive CTE and
+    replays the hash draw — a single doc split apart from its mutant
+    hash-fails."""
+    from openccnet_spark.operators.components import canonical_documents
+    from openccnet_spark.operators.curation import leakage_safe_split
+    from openccnet_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _mutant_docs(spark, sf_dir)
+    pair_handles: list = []
+    comp_handles: list = []
+    pairs = minhash_near_duplicates(docs, persist=True, handles=pair_handles)
+    lab = canonical_documents(
+        pairs, docs, reliable=True, checkpoint_interval=4, handles=comp_handles
+    )
+    out = leakage_safe_split(lab).select("doc_id", "component", "split")
+    for h in pair_handles:
+        h.unpersist()
+    out._persist_handles = comp_handles
+    return out
+
+
 _DSIR_FRAC_PPM = 250000
 
 
@@ -1745,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _armed(_q_dedup_components),
         "dedup_components_star": _armed(_q_dedup_components_star),
         "dedup_canonical": _armed(_q_dedup_canonical),
+        "split_leakage_safe": _armed(_q_split_leakage_safe),
         "dedup_incremental": _armed(_q_dedup_incremental),
         "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
@@ -1961,6 +1987,7 @@ FROM d GROUP BY text
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
+        "split_leakage_safe": _split_leakage_oracle(),
         "dedup_components_star": _dedup_components_oracle(),
         "dedup_canonical": _dedup_canonical_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
@@ -2795,6 +2822,18 @@ SELECT l.doc_id, l.component, (l.doc_id = s.canon) AS is_canonical,
        s.n::BIGINT AS n_members
 FROM lab l JOIN sizes s ON l.component = s.component
 """
+
+
+def _split_leakage_oracle() -> str:
+    from openccnet_spark.operators.curation import sql_leakage_safe_split
+
+    lab = f"""(
+WITH RECURSIVE {_components_walk_sql()},
+d AS (SELECT doc_id FROM documents UNION ALL SELECT doc_id + 100000 FROM documents)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM d LEFT JOIN comp c ON d.doc_id = c.node
+) lab"""
+    return sql_leakage_safe_split(lab)
 
 
 def _dedup_simhash_oracle(banded: bool = True) -> str:

@@ -618,7 +618,7 @@ def main() -> int:
             "dedup_exact", "dedup_exact_prehash", "dedup_passage",
             "dedup_minhash",
             "dedup_simhash", "dedup_components", "dedup_canonical",
-            "dedup_incremental", "dedup_bloom_prefilter",
+            "dedup_incremental", "dedup_bloom_prefilter", "split_leakage_safe",
             "dedup_embedding_lsh", "dedup_semantic",
             "similarity_topk", "similarity_ann",
             "similarity_ivf", "similarity_ivf_sampled", "similarity_recall",

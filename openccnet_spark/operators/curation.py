@@ -41,6 +41,8 @@ __all__ = [
     "key60_col",
     "stratified_sample",
     "budget_select",
+    "leakage_safe_split",
+    "sql_leakage_safe_split",
     "top_fraction_select",
     "mixture_quotas",
     "mixture_rebalance",
@@ -137,6 +139,61 @@ def stratified_sample(
     rate = F.lit(int(default_ppm)) if rate is None else rate.otherwise(F.lit(int(default_ppm)))
     draw = F.pmod(key60_col(salt, id_col), F.lit(1_000_000))
     return df.withColumn("sample_ppm", draw).filter(F.col("sample_ppm") < rate)
+
+
+def leakage_safe_split(
+    labels: DataFrame,
+    rates_ppm: dict | None = None,
+    cluster_col: str = "component",
+    salt: str = "split:",
+) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test assignment: the Bernoulli
+    draw keys on the CLUSTER id, not the document id, so a document and
+    its near-duplicates land in the SAME split by construction — the
+    eval-leakage bug (val answers sitting in train as near-dups) is
+    impossible rather than merely unlikely.
+
+    ``rates_ppm`` is an ordered {split_name: ppm} summing to 1e6
+    (default 90/5/5). Zero shuffle and zero state: the draw is a pure
+    projection of the cross-engine 60-bit hash of the cluster id, so the
+    assignment is reproducible by any engine, on any partitioning, and
+    by later incremental runs (a new member joining an existing cluster
+    inherits the cluster's split). Emits the input columns plus
+    ``split``. Compose downstream of ``components.canonical_documents``
+    (near-dup clusters) or ``conversations.conversation_fingerprints``
+    (exact-dup clusters).
+    """
+    if rates_ppm is None:
+        rates_ppm = {"train": 900_000, "val": 50_000, "test": 50_000}
+    total = sum(rates_ppm.values())
+    if total != 1_000_000:
+        raise ValueError(f"rates_ppm must sum to 1e6, got {total}")
+    draw = F.pmod(key60_col(salt, cluster_col), F.lit(1_000_000))
+    cum, col = 0, None
+    for name, ppm in rates_ppm.items():
+        cum += int(ppm)
+        cond = draw < F.lit(cum)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    return labels.withColumn("split", col)
+
+
+def sql_leakage_safe_split(
+    from_clause: str,
+    rates_ppm: dict | None = None,
+    cluster_col: str = "component",
+    salt: str = "split:",
+) -> str:
+    """DuckDB replay: identical hash draw and cumulative boundaries.
+    Returns the CASE select list fragmentized as a full query emitting
+    ``*, split``."""
+    if rates_ppm is None:
+        rates_ppm = {"train": 900_000, "val": 50_000, "test": 50_000}
+    d = f"('0x' || substr(md5('{salt}' || {cluster_col}), 1, 15))::BIGINT % 1000000"
+    cum, arms = 0, []
+    for name, ppm in rates_ppm.items():
+        cum += int(ppm)
+        arms.append(f"WHEN {d} < {cum} THEN '{name}'")
+    return f"SELECT *, CASE {' '.join(arms)} END AS split FROM {from_clause}"
 
 
 def budget_select(

@@ -252,3 +252,71 @@ def test_key60_matches_python(spark):
     df = spark.createDataFrame([(17,), (42,)], "doc_id long")
     for r in df.select("doc_id", key60_col("k:", "doc_id").alias("h")).collect():
         assert r.h == _h60(f"k:{r.doc_id}")
+
+
+# --------------------------------------------------------------------------
+# leakage_safe_split
+# --------------------------------------------------------------------------
+
+
+def _labels(spark, n_docs=600, docs_per_cluster=3):
+    rows = [(i, i // docs_per_cluster) for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, component long")
+
+
+def test_split_clusters_are_atomic(spark):
+    from openccnet_spark.operators.curation import leakage_safe_split
+
+    out = leakage_safe_split(_labels(spark)).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_split_rates_approximate(spark):
+    from openccnet_spark.operators.curation import leakage_safe_split
+
+    out = leakage_safe_split(_labels(spark, n_docs=3000, docs_per_cluster=1)).collect()
+    n = len(out)
+    train = sum(1 for r in out if r["split"] == "train") / n
+    assert 0.87 <= train <= 0.93  # 90% +- sampling noise over 3000 draws
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_split_rejects_bad_rates(spark):
+    from openccnet_spark.operators.curation import leakage_safe_split
+
+    with pytest.raises(ValueError, match="1e6"):
+        leakage_safe_split(_labels(spark), {"train": 1, "val": 2})
+
+
+def test_split_depends_only_on_cluster_id(spark):
+    """A new member joining an existing cluster inherits its split —
+    the incremental-run stability contract."""
+    from openccnet_spark.operators.curation import leakage_safe_split
+
+    base = {r["component"]: r["split"]
+            for r in leakage_safe_split(_labels(spark, 30)).collect()}
+    grown = spark.createDataFrame(
+        [(1000 + i, i // 2) for i in range(20)], "doc_id long, component long"
+    )  # clusters 0-9: all present in base (30 docs / 3 per cluster)
+    for r in leakage_safe_split(grown).collect():
+        assert r["split"] == base[r["component"]]
+
+
+def test_split_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from openccnet_spark.operators.curation import (
+        leakage_safe_split,
+        sql_leakage_safe_split,
+    )
+
+    rows = [(i, i // 4) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, component long")
+    got = sorted(map(tuple, leakage_safe_split(df).collect()))
+    duckdb.register("split_t", pd.DataFrame(rows, columns=["doc_id", "component"]))
+    want = sorted(map(tuple, duckdb.sql(sql_leakage_safe_split("split_t")).fetchall()))
+    assert got == want
