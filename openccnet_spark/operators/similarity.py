@@ -743,11 +743,13 @@ def semantic_dedup(
         handles=handles,
     )
     # tagged feeds the guard count, both join sides and the final output
-    # join — persist so the Arrow stage runs once; caller releases via
-    # handles
+    # join — persist so the Arrow stage runs once. ONLY when the caller
+    # supplied a release channel: an unconditional persist with
+    # handles=None would leak into the shared session's CacheManager
+    # (measured 2-4x degradation of later queries — CLAUDE.md).
     tagged = _ivf_tagged_frame(df, id_col, vec_col, centroids, with_norm=True)
-    tagged = tagged.persist()
     if handles is not None:
+        tagged = tagged.persist()
         handles.append(tagged)
     sized = oversized_bucket_filter(tagged, "cluster", max_cluster_rows)
     a = sized.select(
