@@ -995,6 +995,117 @@ _STRAT_DEFAULT_PPM = 100_000
 _TOKEN_BUDGETS = {"en": 6_000, "zh": 2_000, "fr": 99_999_999, "es": 500}
 _TOP_FRAC_PPM = 300_000
 _MIX_TARGET_PPM = {"src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 100_000}
+#: domain blocklist for the URL-gate query — hosts of the synthesized
+#: crawl (operators/urls.py synth: d{page%50}.example.com, every 11th
+#: page behind a cdn. sub-label, so suffix semantics are exercised:
+#: blocking d44.example.com also catches cdn.d44.example.com)
+_BLOCKED_DOMAINS = ["d7.example.com", "d23.example.com", "d44.example.com"]
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (stage 1 of C4/RefinedWeb/FineWeb-style web
+    curation): per-document messy crawl URL -> normalized host +
+    canonical form (fragment/scheme/www stripped, host lowercased,
+    tracking params dropped, survivors sorted, trailing slash trimmed).
+    Pure JVM string expressions — no UDF, no shuffle; the oracle rebuilds
+    both the messy URL and the canonical form from the same pattern
+    constants."""
+    from openccnet_spark.operators.urls import (
+        canonical_url_col,
+        host_col,
+        synth_url_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", synth_url_col("doc_id").alias("url")
+    ).select(
+        "doc_id",
+        "url",
+        host_col("url").alias("host"),
+        canonical_url_col("url").alias("canon_url"),
+    )
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: one row per canonical URL with the surviving
+    fetch (min doc_id) and the duplicate count. The synthesized crawl
+    plants exactly PAGE_GROUP messy spellings per logical page, so every
+    group's n_dups is structural, not accidental. Plan: narrow
+    canonicalization -> groupBy on the bounded-length canonical key with
+    map-side partial aggregation."""
+    from openccnet_spark.operators.urls import synth_url_col, url_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return url_dedup(
+        docs.select("doc_id", synth_url_col("doc_id").alias("url"))
+    )
+
+
+def _q_url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + URL dedup as one per-document keep/drop
+    decision: 'blocked_domain' if any dot-suffix of the host is
+    blocklisted (literal-array arrays_overlap — zero joins), else 'keep'
+    for the min-id fetch of each canonical URL, else 'dup_url'. ONE
+    shuffle total (the election window on canon_url)."""
+    from openccnet_spark.operators.urls import domain_gate, synth_url_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return domain_gate(
+        docs.select("doc_id", synth_url_col("doc_id").alias("url")),
+        _BLOCKED_DOMAINS,
+    )
+
+
+def _sql_url_canonicalize() -> str:
+    from openccnet_spark.operators.urls import (
+        sql_canonical_url,
+        sql_host,
+        sql_synth_url,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, {sql_synth_url('doc_id')} AS url FROM documents)
+SELECT doc_id, url, {sql_host('url')} AS host,
+       {sql_canonical_url('url')} AS canon_url
+FROM d
+"""
+
+
+def _sql_url_dedup() -> str:
+    from openccnet_spark.operators.urls import sql_canonical_url, sql_synth_url
+
+    return f"""
+WITH d AS (SELECT doc_id, {sql_synth_url('doc_id')} AS url FROM documents)
+SELECT {sql_canonical_url('url')} AS canon_url,
+       min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+FROM d
+GROUP BY 1
+"""
+
+
+def _sql_url_domain_gate() -> str:
+    from openccnet_spark.operators.urls import (
+        sql_canonical_url,
+        sql_host,
+        sql_host_suffixes,
+        sql_synth_url,
+    )
+
+    blocked = ", ".join(f"'{d}'" for d in sorted(set(_BLOCKED_DOMAINS)))
+    return f"""
+WITH d AS (SELECT doc_id, {sql_synth_url('doc_id')} AS url FROM documents),
+b AS (SELECT doc_id, {sql_host('url')} AS host,
+             {sql_canonical_url('url')} AS canon_url FROM d),
+f AS (SELECT *, list_has_any({sql_host_suffixes('host')}, [{blocked}])
+        AS blocked FROM b),
+w AS (SELECT *, min(doc_id) OVER (PARTITION BY canon_url) AS elect FROM f)
+SELECT doc_id, host, canon_url,
+       CASE WHEN blocked THEN 'blocked_domain'
+            WHEN doc_id = elect THEN 'keep'
+            ELSE 'dup_url' END AS decision
+FROM w
+"""
 
 
 def _q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,6 +1915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _armed(_q_pack_chunks),
         "shard_manifest": _armed(_q_shard_manifest),
         "curation_e2e": _armed(_q_curation_e2e),
+        "url_canonicalize": _armed(_q_url_canonicalize),
+        "url_dedup": _armed(_q_url_dedup),
+        "url_domain_gate": _armed(_q_url_domain_gate),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -2146,6 +2260,12 @@ SELECT c.doc_id, count(*)::BIGINT AS n_hits
 FROM cng c JOIN bng b USING (ng)
 GROUP BY 1
 """,
+        # the URL family rebuilds the messy URL and every normalization
+        # step from the same pattern constants as the Spark side
+        # (operators/urls.py sql_* twins)
+        "url_canonicalize": _sql_url_canonicalize(),
+        "url_dedup": _sql_url_dedup(),
+        "url_domain_gate": _sql_url_domain_gate(),
         # exact replay of the deterministic per-stratum Bernoulli draw
         "sample_stratified": f"""
 WITH d AS (

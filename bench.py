@@ -629,6 +629,7 @@ def main() -> int:
             "multimodal_decode",
             "multimodal_audio", "multimodal_video",
             "decontaminate_ngram", "dsir_select",
+            "url_canonicalize", "url_dedup", "url_domain_gate",
             "sample_stratified", "budget_select",
             "quality_classifier", "quality_top_fraction", "quality_repetition",
             "mixture_rebalance", "pack_chunks", "shard_manifest",
