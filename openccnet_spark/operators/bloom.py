@@ -147,17 +147,16 @@ def incremental_exact_dedup(
     ``dedup.incremental_*`` join the right tool instead.
 
     ``persist`` materializes the distinct index-hash frame, which backs
-    both the bitmap-build job (an action) and the verify semi-join;
-    persisted frames are appended to ``handles`` for the caller to
-    unpersist after materialization (house rule — leaked persists degrade
-    the shared session).
+    both the bitmap-build job (an action) and the verify semi-join —
+    honored ONLY when ``handles`` supplies a release channel: a persist
+    nobody can unpersist leaks into the shared session's CacheManager
+    (measured 2-4x degradation of later queries — CLAUDE.md).
     """
     bh = batch.select(F.col(id_col), hash60_expr(text_col).alias("h"))
     ih = index.select(hash60_expr(text_col).alias("h")).distinct()
-    if persist:
+    if persist and handles is not None:
         ih = ih.persist()
-        if handles is not None:
-            handles.append(ih)
+        handles.append(ih)
     bloom = bloom_build(ih, m_bits=m_bits)
     tagged = bloom_tag(bh, bloom, m_bits)
     misses = tagged.filter(F.col("bloom_hit") == 0).withColumn(

@@ -210,10 +210,11 @@ def lsh_candidate_pairs(
     only — a few MB per million docs.
     """
     buckets = banded_frame(sig_df, id_col)
-    if persist:
+    if persist and handles is not None:
+        # persist only with a release channel — an unreleasable persist
+        # leaks into the shared session's CacheManager (CLAUDE.md)
         buckets = buckets.persist()
-        if handles is not None:
-            handles.append(buckets)
+        handles.append(buckets)
     # guard: drop degenerate buckets (e.g. empty-text signatures)
     sized = oversized_bucket_filter(buckets, "band_key")
     a = sized.select(F.col("band_key"), F.col(id_col).alias("a"))
@@ -246,10 +247,9 @@ def minhash_near_duplicates(
     shingled = df.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
-    if persist:
+    if persist and handles is not None:
         shingled = shingled.persist()
-        if handles is not None:
-            handles.append(shingled)
+        handles.append(shingled)
     pairs = lsh_candidate_pairs(
         minhash_signatures(df, text_col, id_col), id_col,
         persist=persist, handles=handles,
@@ -380,10 +380,9 @@ def simhash_near_duplicates(
     ``handles`` for the caller to unpersist after materialization.
     """
     sh = simhash_signatures(df, text_col, id_col)
-    if persist:
+    if persist and handles is not None:
         sh = sh.persist()
-        if handles is not None:
-            handles.append(sh)
+        handles.append(sh)
     bands = F.array(
         *[
             F.concat_ws(
@@ -508,17 +507,15 @@ def incremental_minhash_dedup(
     and verifies only candidates. Nothing is ever re-deduped.
     """
     new_sigs = minhash_signatures(batch, text_col, id_col)
-    if persist:
+    if persist and handles is not None:
         new_sigs = new_sigs.persist()
-        if handles is not None:
-            handles.append(new_sigs)
+        handles.append(new_sigs)
     new_bands = banded_frame(new_sigs, id_col).withColumn("side", F.lit("n"))
     old_bands = banded_frame(index_sigs, id_col).withColumn("side", F.lit("o"))
     all_bands = new_bands.unionByName(old_bands)
-    if persist:
+    if persist and handles is not None:
         all_bands = all_bands.persist()
-        if handles is not None:
-            handles.append(all_bands)
+        handles.append(all_bands)
     # one guard over the COMBINED bucket population: a bucket degenerate
     # only across the union (100 old + 150 new boilerplate rows) is just
     # as join-explosive as a one-sided one
@@ -543,10 +540,9 @@ def incremental_minhash_dedup(
     sh_new = batch.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
-    if persist:
+    if persist and handles is not None:
         sh_new = sh_new.persist()
-        if handles is not None:
-            handles.append(sh_new)
+        handles.append(sh_new)
     sh_old = corpus.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)

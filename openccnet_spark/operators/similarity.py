@@ -215,10 +215,11 @@ def lsh_ann_topk(
     ``handles`` are accepted for callers that want the corpus tagging
     cached across several probes of the same index."""
     tagged = lsh_tagged_frame(df, id_col, vec_col, dim)
-    if persist:
+    if persist and handles is not None:
+        # persist only with a release channel — an unreleasable persist
+        # leaks into the shared session's CacheManager (CLAUDE.md)
         tagged = tagged.persist()
-        if handles is not None:
-            handles.append(tagged)
+        handles.append(tagged)
     q = lsh_tagged_frame(
         df.filter(F.col(id_col).isin(list(query_ids))), id_col, vec_col, dim
     ).select(
@@ -652,13 +653,13 @@ def lsh_near_duplicates(
     oracle on the test corpus.
     """
     tagged = lsh_tagged_frame(df, id_col, vec_col, dim)
-    if persist:
+    if persist and handles is not None:
         # the tagged frame (one Arrow bucket stage) is consumed by the
         # oversized count AND both self-join sides — persist so it
-        # evaluates once; caller unpersists via ``handles``
+        # evaluates once; only with a release channel (caller unpersists
+        # via ``handles`` — an unreleasable persist leaks, CLAUDE.md)
         tagged = tagged.persist()
-        if handles is not None:
-            handles.append(tagged)
+        handles.append(tagged)
     # degenerate-bucket guard (same rationale as dedup.lsh_candidate_pairs
     # MAX_BUCKET): a hot bucket — zero-norm or identical-direction vectors
     # en masse — would otherwise re-create the O(n^2) join this operator
