@@ -97,6 +97,12 @@ def canonical_url_col(url: ColOrName) -> Column:
     fragment, a lowercase ``www.``-free host, no trailing slash, and an
     already-filtered-and-sorted query), so re-canonicalizing an index of
     canonical URLs is a no-op — pytest pins this.
+
+    Scope: the authority is treated as an opaque host token — explicit
+    ports (``host:8080``) and userinfo (``user@host``) pass through
+    lowercased rather than being stripped; percent-encoding is not
+    decoded. Two spellings that differ only there stay distinct, which
+    under-merges (never over-merges) — the safe direction for dedup.
     """
     u = _col(url)
     rest = _rest(u)
