@@ -174,6 +174,40 @@ def test_domain_gate_counts_partition_the_corpus(spark):
     assert out["dup_url"] == clean_pages * (PAGE_GROUP - 1)
 
 
+def test_canonicalize_differential_fuzz(spark):
+    """Seeded 1000-string differential sweep over an adversarial URL-ish
+    alphabet (doubled delimiters, mid-string scheme fragments, %, ~, ::):
+    the Spark expressions and the DuckDB twins must agree byte-for-byte
+    on every input — the cross-engine contract the oracles lean on
+    (style of the reference's seeded SplitterTests battery)."""
+    import random
+
+    random.seed(0x5EED)
+    alpha = list("abcXYZ09._-/?&=#:%~+") + [
+        "http://", "https://", "www.", "utm_", "ref=", "&&", "//", "??", "##",
+    ]
+    cases = [
+        "".join(random.choice(alpha) for _ in range(random.randint(0, 12)))
+        for _ in range(1000)
+    ]
+    rows = [(i, c) for i, c in enumerate(cases)]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(i BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = con.sql(
+        f"SELECT i, {sql_canonical_url('u')} AS c, {sql_host('u')} AS h "
+        "FROM t ORDER BY i"
+    ).df()
+    sp = (
+        spark.createDataFrame(rows, "i long, u string")
+        .select("i", canonical_url_col("u").alias("c"), host_col("u").alias("h"))
+        .orderBy("i")
+        .toPandas()
+    )
+    assert duck["c"].tolist() == sp["c"].tolist()
+    assert duck["h"].tolist() == sp["h"].tolist()
+
+
 def test_gate_plan_has_no_python_stage(spark):
     """The whole URL family must stay JVM-side: no ArrowEvalPython /
     BatchEvalPython anywhere in the gate's plan."""
