@@ -1057,6 +1057,89 @@ def _q_url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_model(spark: SparkSession, sf_dir: str):
+    from openccnet_spark.operators.lm import lm_train
+
+    docs = _read(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("doc_id") % 13 == 3)
+    return docs, lm_train(trusted)
+
+
+def _q_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed stupid-backoff LM training (CCNet shape, Brants et
+    al. 2007): bigram/unigram counts over the trusted subset (doc_id %
+    13 == 3) as order-free integer aggregations; emits the bigram score
+    table with ppm = (c(ab) * 1e6) DIV c(a) — pure integer division, so
+    the oracle recomputes the model bit-exactly."""
+    docs, (bigram_ppm, _) = _lm_model(spark, sf_dir)
+    return bigram_ppm
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus fluency scoring against the trained LM: explode to
+    bigrams, LEFT-join bigram ppm then unigram backoff ppm (OOV -> 0),
+    integer mean per document. Two equi-joins on bounded token keys +
+    one map-side-combinable aggregate; the corpus never collects."""
+    from openccnet_spark.operators.lm import lm_score
+
+    docs, (bigram_ppm, backoff_ppm) = _lm_model(spark, sf_dir)
+    return lm_score(docs, bigram_ppm, backoff_ppm)
+
+
+def _q_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing per language: top 10% by LM
+    score -> head, next 30% -> middle, rest -> tail, with exact integer
+    quotas and (score DESC, doc_id ASC) tie-breaks via two
+    top_fraction_select decompositions; the oracle is the naive
+    per-language rank, so the decomposition must equal it exactly."""
+    from openccnet_spark.operators.lm import ccnet_buckets, lm_score
+
+    docs, (bigram_ppm, backoff_ppm) = _lm_model(spark, sf_dir)
+    scored = lm_score(docs, bigram_ppm, backoff_ppm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    # the scored frame feeds BOTH top_fraction decompositions and the
+    # final tag join — persist so the scoring pipeline runs once; the
+    # driver/bench release via _persist_handles (house rule)
+    scored = scored.persist()
+    out = ccnet_buckets(scored)
+    out._persist_handles = [scored]
+    return out
+
+
+def _sql_lm_cte() -> str:
+    """Shared oracle CTE chain: trusted counts -> model ppm tables ->
+    per-document corpus scores (the exact integer pipeline of
+    operators/lm.py)."""
+    return """
+tr AS (SELECT text FROM documents WHERE doc_id % 13 = 3),
+tw AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM tr),
+bg AS (SELECT w[i] AS a, w[i+1] AS b FROM
+        (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM tw
+         WHERE len(w) >= 2)),
+bc AS (SELECT a, b, count(*)::BIGINT AS cnt_ab FROM bg GROUP BY 1, 2),
+uni AS (SELECT unnest(w) AS a FROM tw),
+uc AS (SELECT a, count(*)::BIGINT AS cnt_a FROM uni GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS t FROM uni),
+bpm AS (SELECT bc.a, bc.b, ((cnt_ab * 1000000) // cnt_a)::BIGINT AS ppm
+        FROM bc JOIN uc USING (a)),
+bo AS (SELECT a AS b,
+              ((2 * cnt_a * 1000000) // (5 * (SELECT t FROM tot)))::BIGINT
+                AS ppm
+       FROM uc),
+cw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+         AS w FROM documents),
+cbg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b FROM
+         (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+          FROM cw WHERE len(w) >= 2)),
+tok AS (SELECT doc_id, coalesce(bpm.ppm, bo.ppm, 0) AS tok_ppm
+        FROM cbg LEFT JOIN bpm USING (a, b) LEFT JOIN bo USING (b)),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+              (sum(tok_ppm)::BIGINT // count(*))::BIGINT AS score_ppm
+       FROM tok GROUP BY 1)
+"""
+
+
 def _sql_url_canonicalize() -> str:
     from openccnet_spark.operators.urls import (
         sql_canonical_url,
@@ -1918,6 +2001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _armed(_q_url_canonicalize),
         "url_dedup": _armed(_q_url_dedup),
         "url_domain_gate": _armed(_q_url_domain_gate),
+        "lm_train": _armed(_q_lm_train),
+        "lm_score": _armed(_q_lm_score),
+        "lm_bucket": _armed(_q_lm_bucket),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
@@ -2266,6 +2352,28 @@ GROUP BY 1
         "url_canonicalize": _sql_url_canonicalize(),
         "url_dedup": _sql_url_dedup(),
         "url_domain_gate": _sql_url_domain_gate(),
+        # the LM family recomputes training counts, the integer model
+        # tables and every corpus score from scratch (operators/lm.py)
+        "lm_train": f"WITH {_sql_lm_cte()} SELECT a, b, ppm FROM bpm",
+        "lm_score": f"WITH {_sql_lm_cte()} "
+        "SELECT doc_id, n_bigrams, score_ppm FROM sc",
+        "lm_bucket": f"""
+WITH {_sql_lm_cte()},
+sl AS (SELECT sc.doc_id, d.lang, sc.score_ppm
+       FROM sc JOIN documents d USING (doc_id)),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY score_ppm DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY lang) AS n
+      FROM sl)
+SELECT doc_id, lang, score_ppm,
+       CASE WHEN rn <= least(n, (n * 100000 + 999999) // 1000000)
+              THEN 'head'
+            WHEN rn <= least(n, (n * 400000 + 999999) // 1000000)
+              THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+""",
         # exact replay of the deterministic per-stratum Bernoulli draw
         "sample_stratified": f"""
 WITH d AS (

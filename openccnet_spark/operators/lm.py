@@ -1,0 +1,203 @@
+"""Distributed n-gram LM training + corpus fluency scoring (CCNet shape).
+
+CCNet (Wenzek et al. 2020) filters web corpora by training a language
+model on trusted in-domain text (Wikipedia), scoring every corpus
+document with it, and keeping documents by score bucket (head / middle /
+tail per language). This module is that pipeline made Spark-native and
+bit-deterministic:
+
+* **Training** (``lm_train``) is pure distributed counting: word bigram
+  and unigram counts over the trusted subset (groupBy with map-side
+  partial aggregation — integer sums are order-free, so the model is
+  identical at any partitioning). The smoothing is **stupid backoff**
+  (Brants et al. 2007, "Large Language Models in Machine Translation"):
+  ``S(b|a) = c(ab)/c(a)`` when the bigram was seen, else
+  ``0.4 * c(b)/total`` — the published at-scale alternative to
+  Kneser-Ney, chosen exactly because it needs nothing beyond count
+  ratios (KenLM-style KN smoothing needs multiple dependency passes).
+* **Quantization**: every score is a parts-per-million integer computed
+  with integer division (``(c(ab) * 1e6) DIV c(a)``), so the Spark plan,
+  the DuckDB oracle and scalar Python agree bit-for-bit — no float
+  crosses an engine boundary (CLAUDE.md float discipline). At corpus
+  scales where ``cnt * 1e6`` could overflow int64 (counts beyond ~9e12),
+  widen to DECIMAL or pre-scale the numerator; at any bench/test scale
+  int64 is exact.
+* **Scoring** (``lm_score``): the corpus explodes to bigrams (one
+  hoisted split), LEFT-joins the two model tables on bounded-length
+  token keys (bigram ppm, then unigram backoff ppm for misses — OOV
+  scores 0), and aggregates ``mean token ppm`` per document with a
+  map-side-combinable sum. Two equi-joins + one groupBy; the model side
+  is broadcast when small (AQE decides), the corpus never collects.
+* **Bucketing** (``ccnet_buckets``): head = top 10%, middle = next 30%,
+  tail = rest, per language — composed from TWO calls of the exact-rank
+  ``curation.top_fraction_select`` decomposition (histogram cutoff +
+  tie-group-only window), so bucket assignment inherits its
+  any-partitioning exactness.
+
+The score is the **mean quantized token probability**, a monotone
+fluency statistic fit for gating — deliberately NOT exp/log perplexity,
+because cross-engine float logs cannot be made bit-exact; the embedded
+char-bigram ``functions.ppl`` keeps serving the in-UDF perplexity rule.
+
+No counterpart in the reference repo (laisuk/OpenccNet); this serves
+the LLM-pipeline brief as a sibling of ``curation.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words_col",
+    "bigram_frame",
+    "lm_train",
+    "lm_score",
+    "ccnet_buckets",
+    "BACKOFF_NUM",
+    "BACKOFF_DEN",
+    "PPM",
+]
+
+PPM = 1_000_000
+# stupid backoff alpha = 0.4 = BACKOFF_NUM / BACKOFF_DEN, kept as an
+# integer ratio so the backoff score is one exact integer division
+BACKOFF_NUM = 2
+BACKOFF_DEN = 5
+
+HEAD_PPM = 100_000  # CCNet head = top 10% per language
+HEAD_MID_PPM = 400_000  # head + middle = top 40%
+
+
+def words_col(text_col: str) -> Column:
+    """Space-tokenized words, empty tokens dropped (both engines agree:
+    Spark split + filter == DuckDB string_split + list_filter)."""
+    return F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+
+
+def bigram_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, a, b)`` — one row per adjacent word pair, docs with < 2
+    words contribute nothing. The split is bound once as a column, so
+    the per-pair lambda touches a materialized array (no re-split; the
+    no-CSE-in-lambdas trap only bites expressions inlined in the body).
+    ``sequence(1, k)`` is guarded by the size >= 2 filter (k >= 1)."""
+    t = df.select(F.col(id_col), words_col(text_col).alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("a"),
+            F.element_at(F.col("ws"), i + 1).alias("b"),
+        ),
+    )
+    return t.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+
+
+def lm_train(
+    trusted: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the stupid-backoff model on the trusted corpus.
+
+    Returns ``(bigram_ppm, backoff_ppm)``:
+    ``bigram_ppm(a, b, ppm)`` with ``ppm = (c(ab) * 1e6) DIV c(a)`` and
+    ``backoff_ppm(b, ppm)`` with
+    ``ppm = (2 * c(b) * 1e6) DIV (5 * total)``.
+
+    Three count aggregations (bigrams, unigrams, one scalar total) plus
+    one broadcast-friendly join of the bigram counts against their
+    prefix unigram count — all integer, all order-free, so the model is
+    bit-identical at any partitioning. ``c(a) >= c(ab)`` by construction
+    (the prefix occurs wherever the pair does), so the division is
+    always defined.
+    """
+    bg = bigram_frame(trusted, text_col, id_col)
+    bigrams = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
+    uni = (
+        trusted.select(F.explode(words_col(text_col)).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    total = uni.agg(F.sum("cnt_a").alias("t")).first()["t"] or 0
+    if total == 0:
+        raise ValueError("lm_train: trusted corpus has no tokens")
+    bigram_ppm = bigrams.join(uni, "a").select(
+        "a",
+        "b",
+        F.expr(f"(cnt_ab * {PPM}) DIV cnt_a").alias("ppm"),
+    )
+    backoff_ppm = uni.select(
+        F.col("a").alias("b"),
+        F.expr(
+            f"({BACKOFF_NUM} * cnt_a * {PPM}) DIV ({BACKOFF_DEN} * {int(total)})"
+        ).alias("ppm"),
+    )
+    return bigram_ppm, backoff_ppm
+
+
+def lm_score(
+    docs: DataFrame,
+    bigram_ppm: DataFrame,
+    backoff_ppm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fluency: ``(id, n_bigrams, score_ppm)`` where
+    ``score_ppm`` is the integer mean of per-token ppm scores
+    (seen bigram -> its ppm; unseen -> unigram backoff ppm; OOV -> 0).
+    Documents with < 2 words have no bigrams and are not emitted.
+    """
+    bg = bigram_frame(docs, text_col, id_col)
+    scored = (
+        bg.join(bigram_ppm.withColumnRenamed("ppm", "bg_ppm"), ["a", "b"], "left")
+        .join(backoff_ppm.withColumnRenamed("ppm", "bo_ppm"), ["b"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("bg_ppm", "bo_ppm", F.lit(0)).alias("tok_ppm"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(f"sum(tok_ppm) DIV count(1)").alias("score_ppm"),
+    )
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "score_ppm",
+) -> DataFrame:
+    """CCNet head/middle/tail per stratum: rank by (score DESC, id ASC),
+    head = rank <= ceil(10% of n), middle = rank <= ceil(40% of n) and
+    not head, tail = rest — quotas in pure integer arithmetic, via two
+    ``top_fraction_select`` decompositions (each: bounded histogram
+    cutoff + broadcast join + tie-group-only window), then two id-keyed
+    equi-joins to tag. Emits ``(id, stratum, score, bucket)``."""
+    from .curation import top_fraction_select
+
+    head = top_fraction_select(
+        scores, HEAD_PPM, strata_col, id_col, score_col=F.col(score_col)
+    ).select(F.col(id_col), F.lit(1).alias("in_head"))
+    head_mid = top_fraction_select(
+        scores, HEAD_MID_PPM, strata_col, id_col, score_col=F.col(score_col)
+    ).select(F.col(id_col), F.lit(1).alias("in_hm"))
+    return (
+        scores.join(head, id_col, "left")
+        .join(head_mid, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col(score_col),
+            F.when(F.col("in_head").isNotNull(), F.lit("head"))
+            .when(F.col("in_hm").isNotNull(), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Stupid-backoff LM training / scoring / CCNet bucketing (operators/lm.py).
+
+The driver contract (tests/test_entry_contract.py) already replays the
+full pipeline against DuckDB at sf0.01; these tests pin the semantics at
+unit level: scalar-Python bit-equality, edge docs, quota exactness, and
+the no-Python-stage plan invariant.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from openccnet_spark.operators.lm import (
+    HEAD_MID_PPM,
+    HEAD_PPM,
+    PPM,
+    bigram_frame,
+    ccnet_buckets,
+    lm_score,
+    lm_train,
+)
+
+_TRUSTED = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "a cat and a dog",
+]
+_CORPUS = _TRUSTED + [
+    "the cat sat",  # all seen bigrams
+    "mat the cat",  # unseen bigram (mat,the) -> backoff on 'the'
+    "zzz qqq www",  # fully OOV -> every token scores 0
+    "one",  # single word: no bigrams, not emitted
+    "",  # empty: not emitted
+]
+
+
+def _scalar_scores():
+    uni, big = Counter(), Counter()
+    for t in _TRUSTED:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    total = sum(uni.values())
+    out = {}
+    for i, t in enumerate(_CORPUS):
+        ws = [w for w in t.split(" ") if w]
+        if len(ws) < 2:
+            continue
+        s = 0
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in big:
+                s += (big[(a, b)] * PPM) // uni[a]
+            elif b in uni:
+                s += (2 * uni[b] * PPM) // (5 * total)
+        out[i] = (len(ws) - 1, s // (len(ws) - 1))
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+    )
+    trusted = docs.filter(F.col("doc_id") < len(_TRUSTED))
+    bigram_ppm, backoff_ppm = lm_train(trusted)
+    return docs, bigram_ppm, backoff_ppm
+
+
+def test_score_matches_scalar_replay(spark, frames):
+    docs, bp, bo = frames
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_ppm"])
+        for r in lm_score(docs, bp, bo).collect()
+    }
+    assert got == _scalar_scores()
+
+
+def test_short_and_empty_docs_not_emitted(spark, frames):
+    docs, bp, bo = frames
+    ids = {r["doc_id"] for r in lm_score(docs, bp, bo).collect()}
+    assert len(_CORPUS) - 1 not in ids  # empty
+    assert len(_CORPUS) - 2 not in ids  # single word
+
+
+def test_fully_oov_doc_scores_zero(spark, frames):
+    docs, bp, bo = frames
+    row = (
+        lm_score(docs, bp, bo)
+        .filter(F.col("doc_id") == _CORPUS.index("zzz qqq www"))
+        .first()
+    )
+    assert row["score_ppm"] == 0 and row["n_bigrams"] == 2
+
+
+def test_bigram_ppm_is_exact_integer_ratio(spark, frames):
+    _, bp, _ = frames
+    # 'the'->'cat' appears 1x, 'the' appears 4x -> 250000 ppm exactly
+    row = bp.filter((F.col("a") == "the") & (F.col("b") == "cat")).first()
+    assert row["ppm"] == 250_000
+
+
+def test_empty_trusted_corpus_raises(spark):
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        lm_train(docs)
+
+
+def test_bucket_quotas_exact_per_stratum(spark, frames):
+    """head = ceil(10% of n), head+middle = ceil(40% of n) per stratum,
+    ties broken by id ASC — checked against the naive rank."""
+    n = 37
+    scores = spark.createDataFrame(
+        [(i, "xx", (i * 7) % 13) for i in range(n)],
+        "doc_id long, lang string, score_ppm long",
+    )
+    out = ccnet_buckets(scores).toPandas()
+    ranked = sorted(
+        ((r, i) for i, r in ((i, (i * 7) % 13) for i in range(n))),
+        key=lambda t: (-t[0], t[1]),
+    )
+    head_q = (n * HEAD_PPM + PPM - 1) // PPM
+    hm_q = (n * HEAD_MID_PPM + PPM - 1) // PPM
+    want = {}
+    for rank, (_, i) in enumerate(ranked, start=1):
+        want[i] = "head" if rank <= head_q else ("middle" if rank <= hm_q else "tail")
+    got = dict(zip(out["doc_id"], out["bucket"]))
+    assert got == want
+
+
+def test_lm_plans_have_no_python_stage(spark, frames):
+    docs, bp, bo = frames
+    for df in (bigram_frame(docs), lm_score(docs, bp, bo)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
