@@ -151,10 +151,15 @@ def test_no_rowwise_python_in_any_query(spark):
     offenders = []
     for name, fn in entry_mod.queries().items():
         try:
-            plan = _plan(fn(spark, SF_DIR), "simple")
+            df = fn(spark, SF_DIR)
+            plan = _plan(df, "simple")
         except Exception as exc:  # a broken builder is its own failure
             offenders.append((name, f"builder failed: {exc}"))
             continue
+        # builders may persist-with-handles; release the (unmaterialized)
+        # registrations so the sweep leaves the CacheManager clean
+        for h in getattr(df, "_persist_handles", ()):
+            h.unpersist()
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython stage"))
     assert not offenders, offenders
