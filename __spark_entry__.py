@@ -1107,6 +1107,19 @@ def _q_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_lm_score_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-faithful variant: one LM PER LANGUAGE (every count, total
+    and score join carries lang; per-language totals stay a distributed
+    frame — no driver scalar), each document scored against its own
+    language's model."""
+    from openccnet_spark.operators.lm import lm_score, lm_train
+
+    docs = _read(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("doc_id") % 13 == 3)
+    bigram_ppm, backoff_ppm = lm_train(trusted, strata_col="lang")
+    return lm_score(docs, bigram_ppm, backoff_ppm, strata_col="lang")
+
+
 def _sql_lm_cte() -> str:
     """Shared oracle CTE chain: trusted counts -> model ppm tables ->
     per-document corpus scores (the exact integer pipeline of
@@ -2003,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_gate": _armed(_q_url_domain_gate),
         "lm_train": _armed(_q_lm_train),
         "lm_score": _armed(_q_lm_score),
+        "lm_score_lang": _armed(_q_lm_score_lang),
         "lm_bucket": _armed(_q_lm_bucket),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
@@ -2357,6 +2371,37 @@ GROUP BY 1
         "lm_train": f"WITH {_sql_lm_cte()} SELECT a, b, ppm FROM bpm",
         "lm_score": f"WITH {_sql_lm_cte()} "
         "SELECT doc_id, n_bigrams, score_ppm FROM sc",
+        "lm_score_lang": """
+WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 13 = 3),
+tw AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '')
+         AS w FROM tr),
+bg AS (SELECT lang, w[i] AS a, w[i+1] AS b FROM
+        (SELECT lang, w, unnest(generate_series(1, len(w)-1)) AS i
+         FROM tw WHERE len(w) >= 2)),
+bc AS (SELECT lang, a, b, count(*)::BIGINT AS cnt_ab FROM bg
+       GROUP BY 1, 2, 3),
+uni AS (SELECT lang, unnest(w) AS a FROM tw),
+uc AS (SELECT lang, a, count(*)::BIGINT AS cnt_a FROM uni GROUP BY 1, 2),
+tot AS (SELECT lang, count(*)::BIGINT AS t FROM uni GROUP BY 1),
+bpm AS (SELECT bc.lang, bc.a, bc.b,
+               ((cnt_ab * 1000000) // cnt_a)::BIGINT AS ppm
+        FROM bc JOIN uc USING (lang, a)),
+bo AS (SELECT uc.lang, a AS b,
+              ((2 * cnt_a * 1000000) // (5 * t))::BIGINT AS ppm
+       FROM uc JOIN tot USING (lang)),
+cw AS (SELECT doc_id, lang,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+       FROM documents),
+cbg AS (SELECT doc_id, lang, w[i] AS a, w[i+1] AS b FROM
+         (SELECT doc_id, lang, w, unnest(generate_series(1, len(w)-1)) AS i
+          FROM cw WHERE len(w) >= 2)),
+tok AS (SELECT doc_id, cbg.lang, coalesce(bpm.ppm, bo.ppm, 0) AS tok_ppm
+        FROM cbg LEFT JOIN bpm USING (lang, a, b)
+                 LEFT JOIN bo USING (lang, b))
+SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+       (sum(tok_ppm)::BIGINT // count(*))::BIGINT AS score_ppm
+FROM tok GROUP BY 1, 2
+""",
         "lm_bucket": f"""
 WITH {_sql_lm_cte()},
 sl AS (SELECT sc.doc_id, d.lang, sc.score_ppm

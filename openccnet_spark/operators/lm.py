@@ -78,16 +78,20 @@ def words_col(text_col: str) -> Column:
 
 
 def bigram_frame(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """``(id, a, b)`` — one row per adjacent word pair, docs with < 2
-    words contribute nothing. The split is bound once as a column, so
+    """``(id, *carry, a, b)`` — one row per adjacent word pair, docs with
+    < 2 words contribute nothing. The split is bound once as a column, so
     the per-pair lambda touches a materialized array (no re-split; the
     no-CSE-in-lambdas trap only bites expressions inlined in the body).
     ``sequence(1, k)`` is guarded by the size >= 2 filter (k >= 1)."""
-    t = df.select(F.col(id_col), words_col(text_col).alias("ws")).filter(
-        F.size("ws") >= 2
-    )
+    carry = [F.col(c) for c in carry_cols]
+    t = df.select(
+        F.col(id_col), *carry, words_col(text_col).alias("ws")
+    ).filter(F.size("ws") >= 2)
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("ws") - 1),
         lambda i: F.struct(
@@ -95,43 +99,67 @@ def bigram_frame(
             F.element_at(F.col("ws"), i + 1).alias("b"),
         ),
     )
-    return t.select(F.col(id_col), F.explode(pairs).alias("p")).select(
-        id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    return t.select(
+        F.col(id_col), *carry, F.explode(pairs).alias("p")
+    ).select(
+        id_col, *carry_cols, F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
 
 
 def lm_train(
-    trusted: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    trusted: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the stupid-backoff model on the trusted corpus.
 
     Returns ``(bigram_ppm, backoff_ppm)``:
-    ``bigram_ppm(a, b, ppm)`` with ``ppm = (c(ab) * 1e6) DIV c(a)`` and
-    ``backoff_ppm(b, ppm)`` with
+    ``bigram_ppm([stratum,] a, b, ppm)`` with
+    ``ppm = (c(ab) * 1e6) DIV c(a)`` and
+    ``backoff_ppm([stratum,] b, ppm)`` with
     ``ppm = (2 * c(b) * 1e6) DIV (5 * total)``.
 
-    Three count aggregations (bigrams, unigrams, one scalar total) plus
-    one broadcast-friendly join of the bigram counts against their
-    prefix unigram count — all integer, all order-free, so the model is
-    bit-identical at any partitioning. ``c(a) >= c(ab)`` by construction
-    (the prefix occurs wherever the pair does), so the division is
-    always defined.
+    With ``strata_col`` (CCNet trains ONE LM PER LANGUAGE) every count,
+    total and score key carries the stratum, and the per-stratum totals
+    stay a distributed frame (no driver scalar). Either way: count
+    aggregations plus broadcast-friendly joins — all integer, all
+    order-free, so the model is bit-identical at any partitioning.
+    ``c(a) >= c(ab)`` by construction (the prefix occurs wherever the
+    pair does), so the division is always defined.
     """
-    bg = bigram_frame(trusted, text_col, id_col)
-    bigrams = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_ab"))
+    keys = [strata_col] if strata_col else []
+    bg = bigram_frame(trusted, text_col, id_col, carry_cols=tuple(keys))
+    bigrams = bg.groupBy(*keys, "a", "b").agg(
+        F.count(F.lit(1)).alias("cnt_ab")
+    )
     uni = (
-        trusted.select(F.explode(words_col(text_col)).alias("a"))
-        .groupBy("a")
+        trusted.select(
+            *[F.col(k) for k in keys],
+            F.explode(words_col(text_col)).alias("a"),
+        )
+        .groupBy(*keys, "a")
         .agg(F.count(F.lit(1)).alias("cnt_a"))
     )
-    total = uni.agg(F.sum("cnt_a").alias("t")).first()["t"] or 0
-    if total == 0:
-        raise ValueError("lm_train: trusted corpus has no tokens")
-    bigram_ppm = bigrams.join(uni, "a").select(
+    bigram_ppm = bigrams.join(uni, [*keys, "a"]).select(
+        *keys,
         "a",
         "b",
         F.expr(f"(cnt_ab * {PPM}) DIV cnt_a").alias("ppm"),
     )
+    if strata_col:
+        totals = uni.groupBy(strata_col).agg(F.sum("cnt_a").alias("t"))
+        backoff_ppm = uni.join(totals, strata_col).select(
+            strata_col,
+            F.col("a").alias("b"),
+            F.expr(
+                f"({BACKOFF_NUM} * cnt_a * {PPM}) DIV ({BACKOFF_DEN} * t)"
+            ).alias("ppm"),
+        )
+        return bigram_ppm, backoff_ppm
+    total = uni.agg(F.sum("cnt_a").alias("t")).first()["t"] or 0
+    if total == 0:
+        raise ValueError("lm_train: trusted corpus has no tokens")
     backoff_ppm = uni.select(
         F.col("a").alias("b"),
         F.expr(
@@ -147,24 +175,37 @@ def lm_score(
     backoff_ppm: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strata_col: str | None = None,
 ) -> DataFrame:
-    """Per-document fluency: ``(id, n_bigrams, score_ppm)`` where
-    ``score_ppm`` is the integer mean of per-token ppm scores
+    """Per-document fluency: ``(id, [stratum,] n_bigrams, score_ppm)``
+    where ``score_ppm`` is the integer mean of per-token ppm scores
     (seen bigram -> its ppm; unseen -> unigram backoff ppm; OOV -> 0).
-    Documents with < 2 words have no bigrams and are not emitted.
+    With ``strata_col``, each document is scored against ITS stratum's
+    model (the join keys carry the stratum). Documents with < 2 words
+    have no bigrams and are not emitted.
     """
-    bg = bigram_frame(docs, text_col, id_col)
+    keys = [strata_col] if strata_col else []
+    bg = bigram_frame(docs, text_col, id_col, carry_cols=tuple(keys))
     scored = (
-        bg.join(bigram_ppm.withColumnRenamed("ppm", "bg_ppm"), ["a", "b"], "left")
-        .join(backoff_ppm.withColumnRenamed("ppm", "bo_ppm"), ["b"], "left")
+        bg.join(
+            bigram_ppm.withColumnRenamed("ppm", "bg_ppm"),
+            [*keys, "a", "b"],
+            "left",
+        )
+        .join(
+            backoff_ppm.withColumnRenamed("ppm", "bo_ppm"),
+            [*keys, "b"],
+            "left",
+        )
         .select(
             F.col(id_col),
+            *[F.col(k) for k in keys],
             F.coalesce("bg_ppm", "bo_ppm", F.lit(0)).alias("tok_ppm"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *keys).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.expr(f"sum(tok_ppm) DIV count(1)").alias("score_ppm"),
+        F.expr("sum(tok_ppm) DIV count(1)").alias("score_ppm"),
     )
 
 

@@ -130,6 +130,55 @@ def test_bucket_quotas_exact_per_stratum(spark, frames):
     assert got == want
 
 
+def test_per_stratum_models_are_independent(spark):
+    """strata_col mode (CCNet: one LM per language): a bigram common in
+    one stratum must not leak probability mass into another's model."""
+    rows = [
+        (0, "aa", "x y x y x y"),
+        (1, "aa", "x y z"),
+        (2, "bb", "p q p q"),
+        (3, "bb", "x y p"),  # 'x y' unseen in bb-model -> backoff on y
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    trusted_ids = {0, 1, 2}  # doc 3 is scored only, not trained on
+    bp, bo = lm_train(
+        docs.filter(F.col("doc_id") < 3), strata_col="lang"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_ppm"])
+        for r in lm_score(docs, bp, bo, strata_col="lang").collect()
+    }
+    # scalar replay per stratum
+    want = {}
+    for lang in ("aa", "bb"):
+        uni, big = Counter(), Counter()
+        for i, lg, t in rows:
+            if lg != lang or i not in trusted_ids:
+                continue
+            ws = t.split(" ")
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        total = sum(uni.values())
+        for i, lg, t in rows:
+            if lg != lang:
+                continue
+            ws = t.split(" ")
+            s = 0
+            for a, b in zip(ws, ws[1:]):
+                if (a, b) in big:
+                    s += (big[(a, b)] * PPM) // uni[a]
+                elif b in uni:
+                    s += (2 * uni[b] * PPM) // (5 * total)
+            want[i] = (len(ws) - 1, s // (len(ws) - 1))
+    assert got == want
+    # cross-stratum independence: doc 3's (x,y) backs off (bb never saw
+    # the bigram) even though aa's model knows it well
+    bb_xy = bp.filter(
+        (F.col("lang") == "bb") & (F.col("a") == "x") & (F.col("b") == "y")
+    ).count()
+    assert bb_xy == 0
+
+
 def test_lm_plans_have_no_python_stage(spark, frames):
     docs, bp, bo = frames
     for df in (bigram_frame(docs), lm_score(docs, bp, bo)):
