@@ -1967,39 +1967,92 @@ def _q_zho_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS gate checks the FIRST 50
+    # keys in definition order. The first-50 window therefore rotates per
+    # round to prioritize (a) queries that have never had a driver entry,
+    # (b) queries whose implementation changed this round, then (c) one
+    # representative per long-green family. Everything past position 50 is
+    # still covered by tests/test_entry_contract.py's oracle replay.
     return {
+        # -- flagship + conversion representatives (r6-green) -------------
         "pipeline_transcripts": _armed(_q_pipeline),
-        "quality_documents": _armed(_q_quality_documents),
         "convert_goldens": _armed(_q_convert_goldens),
-        "zho_check_goldens": _armed(_q_zho_check),
         **(
             {"bundle_zstd_convert": _armed(_q_bundle_zstd_convert)}
             if os.path.exists(_ZSTD_BUNDLE)
             else {}
         ),
+        # -- never driver-checked before round 7 ---------------------------
+        "conv_fold_tools": _armed(_q_conv_fold_tools),
+        "conv_gate": _armed(_q_conv_gate),
+        "conv_dedup_exact": _armed(_q_conv_dedup_exact),
+        "conv_render": _armed(_q_conv_render),
+        "lm_train": _armed(_q_lm_train),
+        "lm_score": _armed(_q_lm_score),
+        "lm_score_lang": _armed(_q_lm_score_lang),
+        "lm_score_trigram": _armed(_q_lm_score_trigram),
+        "lm_bucket": _armed(_q_lm_bucket),
+        "url_canonicalize": _armed(_q_url_canonicalize),
+        "url_dedup": _armed(_q_url_dedup),
+        "url_domain_gate": _armed(_q_url_domain_gate),
+        "pack_chunks": _armed(_q_pack_chunks),
+        "shard_manifest": _armed(_q_shard_manifest),
+        "curation_e2e": _armed(_q_curation_e2e),
+        "sketch_heavy_hitters": _armed(_q_sketch_heavy_hitters),
+        "sketch_hll_distinct": _armed(_q_sketch_hll_distinct),
+        "hypertable_rollup": _armed(_q_hypertable_rollup),
+        "events_asof_join": _armed(_q_events_asof_join),
+        "events_range_join": _armed(_q_events_range_join),
+        "streaming_quality_filter": _armed(_q_streaming_quality_filter),
+        # -- checked r5, fell out of the r6 window --------------------------
+        "st_ts_goldens": _armed(_q_st_ts),
+        "normalize_detofu_goldens": _armed(_q_normalize_detofu),
+        "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
+        "office_convert": _armed(_q_office_convert),
+        "textfiles_encodings": _armed(_q_textfiles_encodings),
+        "ids_preserve_goldens": _armed(_q_ids_preserve),
+        "custom_dict_convert": _armed(_q_custom_dict),
+        "events_window": _armed(_q_events_window),
+        "events_sessionize": _armed(_q_events_sessionize),
+        "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
+        "zho_check_transcripts": _armed(_q_zho_transcripts),
+        "topk_customers": _armed(_q_topk_customers),
+        "shipping_priority": _armed(_q_shipping_priority),
+        "nation_volume": _armed(_q_nation_volume),
+        "set_ops": _armed(_q_set_ops),
+        "grouping_sets": _armed(_q_grouping_sets),
+        # -- round-7 code changes + family representatives ------------------
+        "quality_documents": _armed(_q_quality_documents),
+        "dedup_exact": _armed(_q_dedup_exact),
+        "dedup_minhash": _armed(_q_dedup_minhash),
+        "dedup_components": _armed(_q_dedup_components),
+        "dedup_canonical": _armed(_q_dedup_canonical),
+        "similarity_ivf": _armed(_q_similarity_ivf),
+        "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
+        "quality_classifier": _armed(_q_quality_classifier),
+        "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
+        "warc_extract": _armed(_q_warc_extract),
+        # ======================= position 50 cutoff ========================
+        # Everything below was driver-green in r5/r6 and stays pinned by the
+        # pytest oracle-replay contract.
+        "zho_check_goldens": _armed(_q_zho_check),
         "metrics_rollup": _armed(_q_metrics_rollup),
         "filter_project": _armed(_q_filter_project),
         "broadcast_join": _armed(_q_broadcast_join),
         "window_first_order": _armed(_q_window_first_order),
         "antijoin_resume": _armed(_q_antijoin_resume),
-        "dedup_exact": _armed(_q_dedup_exact),
         "dedup_passage": _armed(_q_dedup_passage),
         "dedup_exact_prehash": _armed(_q_dedup_exact_prehash),
-        "dedup_minhash": _armed(_q_dedup_minhash),
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
         "dedup_simhash": _armed(_q_dedup_simhash),
-        "dedup_components": _armed(_q_dedup_components),
         "dedup_components_star": _armed(_q_dedup_components_star),
-        "dedup_canonical": _armed(_q_dedup_canonical),
         "split_leakage_safe": _armed(_q_split_leakage_safe),
         "dedup_incremental": _armed(_q_dedup_incremental),
         "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
-        "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
         "dedup_semantic": _armed(_q_dedup_semantic),
         "similarity_topk": _armed(_q_similarity_topk),
         "similarity_ann": _armed(_q_similarity_ann),
-        "similarity_ivf": _armed(_q_similarity_ivf),
         "similarity_ivf_sampled": _armed(_q_similarity_ivf_sampled),
         "similarity_recall": _armed(_q_similarity_recall),
         "similarity_recall_planted": _armed(_q_similarity_recall_planted),
@@ -2010,55 +2063,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": _armed(_q_quality_quantiles),
         "multimodal_features": _armed(_q_multimodal_features),
         "multimodal_decode": _armed(_q_multimodal_decode),
-        "warc_extract": _armed(_q_warc_extract),
         "multimodal_audio": _armed(_q_multimodal_audio),
         "multimodal_video": _armed(_q_multimodal_video),
         "decontaminate_ngram": _armed(_q_decontaminate_ngram),
         "dsir_select": _armed(_q_dsir_select),
         "sample_stratified": _armed(_q_sample_stratified),
         "budget_select": _armed(_q_budget_select),
-        "quality_classifier": _armed(_q_quality_classifier),
         "quality_top_fraction": _armed(_q_quality_top_fraction),
         "quality_repetition": _armed(_q_quality_repetition),
         "mixture_rebalance": _armed(_q_mixture_rebalance),
-        "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
-        "pack_chunks": _armed(_q_pack_chunks),
-        "shard_manifest": _armed(_q_shard_manifest),
-        "curation_e2e": _armed(_q_curation_e2e),
-        "url_canonicalize": _armed(_q_url_canonicalize),
-        "url_dedup": _armed(_q_url_dedup),
-        "url_domain_gate": _armed(_q_url_domain_gate),
-        "lm_train": _armed(_q_lm_train),
-        "lm_score": _armed(_q_lm_score),
-        "lm_score_lang": _armed(_q_lm_score_lang),
-        "lm_score_trigram": _armed(_q_lm_score_trigram),
-        "lm_bucket": _armed(_q_lm_bucket),
-        "st_ts_goldens": _armed(_q_st_ts),
-        "normalize_detofu_goldens": _armed(_q_normalize_detofu),
-        "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
-        "office_convert": _armed(_q_office_convert),
-        "textfiles_encodings": _armed(_q_textfiles_encodings),
-        "ids_preserve_goldens": _armed(_q_ids_preserve),
-        "custom_dict_convert": _armed(_q_custom_dict),
-        "events_window": _armed(_q_events_window),
-        "events_sessionize": _armed(_q_events_sessionize),
-        "events_asof_join": _armed(_q_events_asof_join),
-        "events_range_join": _armed(_q_events_range_join),
-        "sketch_heavy_hitters": _armed(_q_sketch_heavy_hitters),
-        "sketch_hll_distinct": _armed(_q_sketch_hll_distinct),
-        "hypertable_rollup": _armed(_q_hypertable_rollup),
-        "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
-        "streaming_quality_filter": _armed(_q_streaming_quality_filter),
-        "zho_check_transcripts": _armed(_q_zho_transcripts),
-        "conv_fold_tools": _armed(_q_conv_fold_tools),
-        "conv_gate": _armed(_q_conv_gate),
-        "conv_dedup_exact": _armed(_q_conv_dedup_exact),
-        "conv_render": _armed(_q_conv_render),
-        "topk_customers": _armed(_q_topk_customers),
-        "shipping_priority": _armed(_q_shipping_priority),
-        "nation_volume": _armed(_q_nation_volume),
-        "set_ops": _armed(_q_set_ops),
-        "grouping_sets": _armed(_q_grouping_sets),
     }
 
 
