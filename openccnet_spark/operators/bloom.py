@@ -16,9 +16,16 @@ no counterpart; LLM-pipeline brief, sibling of ``dedup.py``).
 
 Hash spec (cross-engine, see dedup.simhash provenance): ``h = first 15
 hex chars of md5(text) as int`` (60 bits); the ``k = 3`` bit positions
-are the three 20-bit slices ``(h >> 20*slot) % m_bits`` with ``m_bits``
-a power of two <= 2^20. DuckDB replays membership as three ``IN`` tests
-against the index's distinct position set — no bitmap needed SQL-side.
+use Kirsch–Mitzenmacher double hashing over the two independent 30-bit
+halves, ``pos_s = (h_lo + s * h_hi) % m_bits`` with ``h_lo = h % 2^30``,
+``h_hi = h // 2^30`` and ``m_bits`` a power of two <= 2^30 — plain
+integer arithmetic, so DuckDB replays membership as three ``IN`` tests
+against the index's distinct position set with no bitmap SQL-side.
+(The pre-round-7 family sliced three 20-bit windows out of ``h``, which
+structurally capped ``m_bits`` at 2^20 ≈ 1 Mbit — saturated and stopped
+pruning at ≳10^5–10^6 index keys. Double hashing keeps every position
+full-width, so the bitmap scales to 2^30 bits = 128 MB broadcast,
+enough for ~10^8 index keys at k=3 under 1% FP.)
 
 Scale shape: the build is one narrow pass emitting ONE fixed-size
 partial bitmap row per partition (m_bits/8 bytes each — bounded by
@@ -51,19 +58,22 @@ def hash60_expr(col: str) -> Column:
 
 
 def bloom_positions(h: int, m_bits: int) -> tuple[int, ...]:
-    """The k bit positions of a 60-bit hash (20-bit slices mod m_bits)."""
-    return tuple((h >> (20 * s)) % m_bits for s in range(BLOOM_K))
+    """The k bit positions of a 60-bit hash (double hashing over the
+    30-bit halves: ``(h_lo + s*h_hi) % m_bits``)."""
+    lo, hi = h % (1 << 30), h >> 30
+    return tuple((lo + s * hi) % m_bits for s in range(BLOOM_K))
 
 
 def bloom_build(df: DataFrame, hash_col: str = "h", m_bits: int = 1 << 20) -> bytes:
     """Build the index bitmap: one partial per partition, OR-ed driver-side.
 
-    ``m_bits`` must be a power of two <= 2^20 (the slice width). The
-    collect is ``n_partitions`` rows of ``m_bits/8`` bytes each —
-    independent of data volume.
+    ``m_bits`` must be a power of two <= 2^30 (the double-hash half
+    width). The collect is ``n_partitions`` rows of ``m_bits/8`` bytes
+    each — independent of data volume, but at large ``m_bits`` coalesce
+    the hash frame first (the build pass is narrow anyway).
     """
-    if m_bits & (m_bits - 1) or m_bits > 1 << 20:
-        raise ValueError("m_bits must be a power of two <= 2^20")
+    if m_bits & (m_bits - 1) or m_bits > 1 << 30:
+        raise ValueError("m_bits must be a power of two <= 2^30")
     n_words = m_bits // 64
 
     def _partial(batches):
@@ -74,8 +84,9 @@ def bloom_build(df: DataFrame, hash_col: str = "h", m_bits: int = 1 << 20) -> by
                 continue
             seen = True
             h = pdf[hash_col].to_numpy(dtype=np.uint64)
+            lo, hi = h % np.uint64(1 << 30), h >> np.uint64(30)
             for s in range(BLOOM_K):
-                pos = (h >> np.uint64(20 * s)) % np.uint64(m_bits)
+                pos = (lo + np.uint64(s) * hi) % np.uint64(m_bits)
                 np.bitwise_or.at(
                     bits, (pos // 64).astype(np.int64), np.uint64(1) << (pos % np.uint64(64))
                 )
@@ -107,9 +118,10 @@ def bloom_tag(
             if not len(pdf):
                 continue
             h = pdf[hash_col].to_numpy(dtype=np.uint64)
+            lo, hi = h % np.uint64(1 << 30), h >> np.uint64(30)
             hit = np.ones(len(h), dtype=bool)
             for s in range(BLOOM_K):
-                pos = (h >> np.uint64(20 * s)) % np.uint64(m_bits)
+                pos = (lo + np.uint64(s) * hi) % np.uint64(m_bits)
                 word = bits[(pos // 64).astype(np.int64)]
                 hit &= (word >> (pos % np.uint64(64))) & np.uint64(1) != 0
             out = pdf.copy()
@@ -179,12 +191,14 @@ def sql_incremental_exact(
 ) -> str:
     """DuckDB replay: the bloom answer via three IN-tests against the
     index's distinct position set, the exact verdict via NOT IN."""
+    half = 1 << 30
     slots = " AND ".join(
-        f"((b.h >> {20 * s}) % {m_bits}) IN (SELECT p FROM pos)"
+        f"(((b.h % {half}) + {s} * (b.h // {half})) % {m_bits}) IN (SELECT p FROM pos)"
         for s in range(BLOOM_K)
     )
     pos_union = " UNION ".join(
-        f"SELECT ((h >> {20 * s}) % {m_bits}) AS p FROM ih" for s in range(BLOOM_K)
+        f"SELECT (((h % {half}) + {s} * (h // {half})) % {m_bits}) AS p FROM ih"
+        for s in range(BLOOM_K)
     )
     return f"""
 WITH ih AS (SELECT DISTINCT ('0x' || substr(md5({text_col}), 1, 15))::BIGINT AS h

@@ -71,7 +71,7 @@ def test_bitmap_partition_invariant_and_matches_python(spark, corpus, n_parts):
 def test_bad_m_bits_rejected(spark, corpus):
     _, df = corpus
     hdf = df.select(hash60_expr("text").alias("h"))
-    for m in (3, 1 << 21):
+    for m in (3, 1 << 31):
         with pytest.raises(ValueError):
             bloom_build(hdf, m_bits=m)
 
@@ -117,6 +117,41 @@ def test_sql_oracle_matches_operator(spark, corpus):
     )
     for _, r in duckdb.sql(sql).df().iterrows():
         assert got[int(r.doc_id)] == (int(r.bloom_hit), int(r.is_new))
+
+
+def test_large_bitmap_fp_rate_at_scale(spark):
+    """The round-7 double-hash position family must keep pruning past the
+    old 2^20 structural cap: at m_bits=2^26 a 10^5-key index must tag
+    well under 1% of 10^5 non-member probes as hits (analytic FP at
+    k=3, n=1e5, m=2^26 is ~9e-8; the 1% bound leaves room for hash
+    clustering). The pre-r7 20-bit-slice family cannot pass this at any
+    m_bits: its bitmap tops out at 2^20 bits."""
+    m = 1 << 26
+    index_h = (
+        spark.range(100_000)
+        .select(hash60_expr("CAST(id AS STRING)").alias("h"))
+        .coalesce(4)
+    )
+    bits = bloom_build(index_h, m_bits=m)
+    probes = spark.range(100_000, 200_000).select(
+        F.col("id").alias("doc_id"), hash60_expr("CAST(id AS STRING)").alias("h")
+    ).coalesce(4)
+    hits = (
+        bloom_tag(probes, bits, m)
+        .agg(F.sum("bloom_hit").alias("n_hits"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert hits.n == 100_000
+    assert hits.n_hits / hits.n < 0.01, hits.n_hits
+    # spot-check the no-false-negative side on the same bitmap
+    member = bloom_tag(
+        spark.range(5).select(
+            F.col("id").alias("doc_id"), hash60_expr("CAST(id AS STRING)").alias("h")
+        ),
+        bits,
+        m,
+    ).collect()
+    assert all(r.bloom_hit == 1 for r in member)
 
 
 def test_miss_path_plan_never_touches_index(spark, corpus):
