@@ -18,10 +18,13 @@ bit-deterministic:
 * **Quantization**: every score is a parts-per-million integer computed
   with integer division (``(c(ab) * 1e6) DIV c(a)``), so the Spark plan,
   the DuckDB oracle and scalar Python agree bit-for-bit — no float
-  crosses an engine boundary (CLAUDE.md float discipline). At corpus
-  scales where ``cnt * 1e6`` could overflow int64 (counts beyond ~9e12),
-  widen to DECIMAL or pre-scale the numerator; at any bench/test scale
-  int64 is exact.
+  crosses an engine boundary (CLAUDE.md float discipline). The ``cnt *
+  1e6`` numerator is ALWAYS computed in DECIMAL(38,0) (``ppm_div_sql``):
+  int64 overflows past ~9.2e12 counts — which real web-corpus unigram
+  totals exceed (under ANSI the job would fail outright) — and the
+  decimal cost lands only on model-table-sized rows (distinct n-grams),
+  never the corpus explode. Truncation parity with the int64 ``DIV`` is
+  pinned in tests, so small-scale oracles are unchanged.
 * **Scoring** (``lm_score``): the corpus explodes to bigrams (one
   hoisted split), LEFT-joins the two model tables on bounded-length
   token keys (bigram ppm, then unigram backoff ppm for misses — OOV
@@ -52,6 +55,7 @@ __all__ = [
     "words_col",
     "bigram_frame",
     "trigram_frame",
+    "ppm_div_sql",
     "lm_train",
     "lm_train3",
     "lm_score",
@@ -70,6 +74,19 @@ BACKOFF_DEN = 5
 
 HEAD_PPM = 100_000  # CCNet head = top 10% per language
 HEAD_MID_PPM = 400_000  # head + middle = top 40%
+
+
+def ppm_div_sql(cnt: str, den: str, num_factor: int = 1) -> str:
+    """``(num_factor * cnt * 1e6) DIV den`` with the numerator widened to
+    DECIMAL(38,0): int64 overflows past cnt ~9.2e12 (a real web-corpus
+    unigram count — ANSI mode fails the job there), and decimal ``DIV``
+    truncates identically to the int64 path (pinned in tests). The
+    quotient is <= 1e6 by construction, so the BIGINT narrowing is safe.
+    """
+    num = f"CAST({cnt} AS DECIMAL(38,0))"
+    if num_factor != 1:
+        num = f"{num_factor} * {num}"
+    return f"CAST({num} * {PPM} DIV ({den}) AS BIGINT)"
 
 
 def words_col(text_col: str) -> Column:
@@ -131,6 +148,23 @@ def lm_train(
     ``c(a) >= c(ab)`` by construction (the prefix occurs wherever the
     pair does), so the division is always defined.
     """
+    bigram_ppm, backoff_ppm, _ = _train_tables(
+        trusted, text_col, id_col, strata_col
+    )
+    return bigram_ppm, backoff_ppm
+
+
+def _train_tables(
+    trusted: DataFrame,
+    text_col: str,
+    id_col: str,
+    strata_col: str | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(bigram_ppm, backoff_ppm, bigram_counts)`` — the third frame is
+    the raw ``(a, b, cnt_ab)`` aggregate so ``lm_train3`` can reuse it as
+    the trigram denominator: the subtree is then IDENTICAL in the
+    combined scoring plan, so Spark's exchange reuse materializes the
+    bigram count shuffle once instead of recounting the corpus."""
     keys = [strata_col] if strata_col else []
     bg = bigram_frame(trusted, text_col, id_col, carry_cols=tuple(keys))
     bigrams = bg.groupBy(*keys, "a", "b").agg(
@@ -148,7 +182,7 @@ def lm_train(
         *keys,
         "a",
         "b",
-        F.expr(f"(cnt_ab * {PPM}) DIV cnt_a").alias("ppm"),
+        F.expr(ppm_div_sql("cnt_ab", "cnt_a")).alias("ppm"),
     )
     if strata_col:
         totals = uni.groupBy(strata_col).agg(F.sum("cnt_a").alias("t"))
@@ -156,20 +190,20 @@ def lm_train(
             strata_col,
             F.col("a").alias("b"),
             F.expr(
-                f"({BACKOFF_NUM} * cnt_a * {PPM}) DIV ({BACKOFF_DEN} * t)"
+                ppm_div_sql("cnt_a", f"{BACKOFF_DEN} * t", BACKOFF_NUM)
             ).alias("ppm"),
         )
-        return bigram_ppm, backoff_ppm
+        return bigram_ppm, backoff_ppm, bigrams
     total = uni.agg(F.sum("cnt_a").alias("t")).first()["t"] or 0
     if total == 0:
         raise ValueError("lm_train: trusted corpus has no tokens")
     backoff_ppm = uni.select(
         F.col("a").alias("b"),
         F.expr(
-            f"({BACKOFF_NUM} * cnt_a * {PPM}) DIV ({BACKOFF_DEN} * {int(total)})"
+            ppm_div_sql("cnt_a", f"{BACKOFF_DEN} * {int(total)}", BACKOFF_NUM)
         ).alias("ppm"),
     )
-    return bigram_ppm, backoff_ppm
+    return bigram_ppm, backoff_ppm, bigrams
 
 
 def lm_score(
@@ -245,21 +279,24 @@ def lm_train3(
     ``ppm = (c(abc) * 1e6) DIV c(ab)`` on top of the bigram model.
     The denominator is the raw bigram COUNT (the prefix occurs wherever
     the triple does, so the division is always defined); the bigram and
-    unigram-backoff tables are ``lm_train``'s, unchanged.
+    unigram-backoff tables are ``lm_train``'s, unchanged. The
+    denominator frame IS ``lm_train``'s internal count aggregate (not a
+    recount): in the combined scoring plan the two consumers share one
+    identical subtree, so exchange reuse runs the bigram count shuffle
+    once per corpus pass.
     """
-    bigram_ppm, backoff_ppm = lm_train(trusted, text_col, id_col)
+    bigram_ppm, backoff_ppm, bg_counts = _train_tables(
+        trusted, text_col, id_col, None
+    )
     tg = trigram_frame(trusted, text_col, id_col)
     trigrams = tg.groupBy("a", "b", "c").agg(
         F.count(F.lit(1)).alias("cnt_abc")
-    )
-    bg_counts = bigram_frame(trusted, text_col, id_col).groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("cnt_ab")
     )
     trigram_ppm = trigrams.join(bg_counts, ["a", "b"]).select(
         "a",
         "b",
         "c",
-        F.expr(f"(cnt_abc * {PPM}) DIV cnt_ab").alias("ppm"),
+        F.expr(ppm_div_sql("cnt_abc", "cnt_ab")).alias("ppm"),
     )
     return trigram_ppm, bigram_ppm, backoff_ppm
 
@@ -346,7 +383,15 @@ def ccnet_buckets(
     not head, tail = rest — quotas in pure integer arithmetic, via two
     ``top_fraction_select`` decompositions (each: bounded histogram
     cutoff + broadcast join + tie-group-only window), then two id-keyed
-    equi-joins to tag. Emits ``(id, stratum, score, bucket)``."""
+    equi-joins to tag. Emits ``(id, stratum, score, bucket)``.
+
+    Scale note: ``score_ppm`` spans up to 1e6 distinct values per
+    stratum, so the cutoff histogram here is "distinct scores per
+    stratum" rows — wider than the <= 1001-row bound the milli-scale
+    quality scores give ``top_fraction_select``, but still a per-stratum
+    aggregate (1e6 rows x n_strata worst case), orders below the corpus.
+    If that ever dominates, pre-bucket the cutoff pass (``score_ppm DIV
+    1000``) and keep the exact window only on the boundary bucket."""
     from .curation import top_fraction_select
 
     head = top_fraction_select(

@@ -244,3 +244,48 @@ def test_lm_plans_have_no_python_stage(spark, frames):
     for df in (bigram_frame(docs), lm_score(docs, bp, bo)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_ppm_div_widens_past_int64(spark):
+    """The round-7 widening made real: counts whose ``cnt * 1e6`` product
+    overflows int64 (and whose total exceeds 2^53) must score exactly.
+    Before ppm_div_sql, this expression raised ARITHMETIC_OVERFLOW under
+    ANSI; replayed here against arbitrary-precision Python ints."""
+    from openccnet_spark.operators.lm import ppm_div_sql
+
+    big_total = (1 << 54) + 7  # > 2^53
+    rows = [
+        (9_300_000_000_001, big_total),      # cnt*1e6 > int64 max
+        (4_611_686_018_427_387, big_total),  # ~2^62/1000
+        (7, 3),                              # small: parity with int64 DIV
+    ]
+    df = spark.createDataFrame(rows, "cnt long, t long")
+    got = df.selectExpr(
+        ppm_div_sql("cnt", "5 * t", 2) + " AS ppm",
+        "cnt", "t",
+    ).collect()
+    for r in got:
+        assert r.ppm == (2 * r.cnt * PPM) // (5 * r.t), r
+    small = df.filter("cnt = 7").selectExpr(
+        ppm_div_sql("cnt", "t") + " AS wide",
+        f"(cnt * {PPM}) DIV t AS narrow",
+    ).collect()[0]
+    assert small.wide == small.narrow  # decimal DIV truncates like int64
+
+
+def test_trigram_training_reuses_bigram_count_exchange(spark, frames):
+    """lm_train3's trigram denominator must be lm_train's own bigram
+    count aggregate, not a recount: in the combined scoring plan the two
+    consumers share one identical subtree, so the physical plan carries a
+    ReusedExchange (one corpus-wide bigram count, not two)."""
+    docs, _, _ = frames
+    trusted = docs.filter(F.col("doc_id") < len(_TRUSTED))
+    tri, bp, bo = lm_train3(trusted)
+    scored = lm_score3(docs, tri, bp, bo)
+    # collect() (not a noop write, which runs a separate QueryExecution)
+    # so THIS Dataset's adaptive plan finalizes — stage reuse only shows
+    # in the final plan
+    scored.collect()
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
