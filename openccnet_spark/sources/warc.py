@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import gzip
 import html as _html
+from hashlib import md5 as _md5
 import io
 import re
 import zlib
@@ -61,8 +62,15 @@ def build_warc_record(
     rec_type: str = "response",
     record_id: str | None = None,
 ) -> bytes:
-    """One WARC/1.0 record: header block, blank line, payload, 2x CRLF."""
-    rid = record_id or f"<urn:uuid:{abs(hash(uri)) & 0xFFFFFFFF:08x}>"
+    """One WARC/1.0 record: header block, blank line, payload, 2x CRLF.
+
+    The default record id derives from the md5-prefix hash family (the
+    house cross-engine hash) — NOT Python ``hash()``, whose per-process
+    salt would break the module's byte-determinism across workers/runs.
+    """
+    rid = record_id or (
+        f"<urn:uuid:{int(_md5(uri.encode('utf-8')).hexdigest()[:8], 16):08x}>"
+    )
     ctype = (
         "application/http; msgtype=response"
         if rec_type == "response"
