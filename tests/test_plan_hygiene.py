@@ -141,6 +141,47 @@ def test_salted_join_carries_salt_in_join_keys(spark):
     assert "_salt" in plan
 
 
+def test_url_family_is_pure_jvm_with_one_exchange(spark):
+    """The URL curation family must stay pure JVM string expressions:
+    canonicalize is a zero-exchange projection (runs inside the scan
+    stage at 100 TB), and the gate/dedup pay exactly ONE data shuffle
+    (hashpartitioning on canon_url). A Python stage or a second
+    exchange here would re-shuffle every crawled URL."""
+    qs = entry_mod.queries()
+    canon = _plan(qs["url_canonicalize"](spark, SF_DIR), "simple")
+    assert "Exchange" not in canon
+    assert "EvalPython" not in canon and "MapInPandas" not in canon
+    for name in ("url_domain_gate", "url_dedup"):
+        plan = _plan(qs[name](spark, SF_DIR), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_conv_fold_is_one_conv_shuffle_no_window(spark):
+    """conv_fold_tools must be a single hashpartitioning(conv_id)
+    exchange feeding a JVM aggregate fold — never a Window over turns
+    (which would sort-shuffle every turn row) and never a Python stage.
+    State stays conversation-bounded."""
+    plan = _plan(entry_mod.queries()["conv_fold_tools"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the fold itself must be the JVM higher-order aggregate, partial-agg'd
+    assert "aggregate(" in plan and "collect_list" in plan
+
+
+def test_lm_score_has_no_window_and_broadcast_token_joins(spark):
+    """lm_score: per-token model lookups must be broadcast hash joins
+    (the n-gram model is bounded; the corpus side must never
+    sort-merge-shuffle per token), and the per-document mean must be a
+    two-phase aggregate, not a Window."""
+    plan = _plan(entry_mod.queries()["lm_score"](spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_no_rowwise_python_in_any_query(spark):
     """GLOBAL invariant: no driver query may contain a row-at-a-time
     Python UDF stage (BatchEvalPython) — Python is allowed only as
