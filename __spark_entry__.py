@@ -280,6 +280,20 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring removal (Lee et al. 2022, sliding-window
+    form): every 8-token window hashed at stride 1, globally first
+    occurrence wins (min (doc_id, pos)), every token covered by a later
+    occurrence dropped, documents rebuilt. Doubled docs plant guaranteed
+    whole-document repeats; the corpus' template-generated text supplies
+    organic partial overlaps that cross passage boundaries (the case
+    dedup_passage structurally misses). Oracle = the naive window form
+    of the same rule."""
+    from openccnet_spark.operators.substrings import substring_dedup
+
+    return substring_dedup(_doubled_docs(spark, sf_dir))
+
+
 def _mutant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + near-duplicates (each doc minus its last word); the
     mutation expression lives in dedup.append_word_dropped_mutants so the
@@ -2072,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_top_fraction": _armed(_q_quality_top_fraction),
         "quality_repetition": _armed(_q_quality_repetition),
         "mixture_rebalance": _armed(_q_mixture_rebalance),
+        "dedup_substring": _armed(_q_dedup_substring),
     }
 
 
@@ -2226,6 +2241,7 @@ SELECT min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
 FROM d GROUP BY text
 """,
         "dedup_passage": _passage_oracle(),
+        "dedup_substring": _substring_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3034,6 +3050,18 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _substring_oracle() -> str:
+    """Naive window form of duplicated-substring removal over the
+    doubled corpus."""
+    from openccnet_spark.operators.substrings import sql_substring_dedup
+
+    doubled = (
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents)"
+    )
+    return sql_substring_dedup(doubled)
 
 
 def _dedup_minhash_oracle() -> str:
