@@ -280,6 +280,24 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_url_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the synthetic host-link graph (forward ring
+    + hub funnel edges derived from the documents table), 3 rounds,
+    damping 85% — the crawl-prioritization side-computation whose output
+    broadcasts into the URL gate. All arithmetic is floored integer so
+    the DuckDB chained-CTE replay is exact at any partitioning."""
+    from openccnet_spark.operators.hostrank import host_rank, synth_host_edges
+
+    handles: list = []
+    out = host_rank(
+        synth_host_edges(_read(spark, sf_dir, "documents")),
+        persist=True,
+        handles=handles,
+    )
+    out._persist_handles = handles
+    return out
+
+
 def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring removal (Lee et al. 2022, sliding-window
     form): every 8-token window hashed at stride 1, globally first
@@ -2087,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _armed(_q_quality_repetition),
         "mixture_rebalance": _armed(_q_mixture_rebalance),
         "dedup_substring": _armed(_q_dedup_substring),
+        "url_host_rank": _armed(_q_url_host_rank),
     }
 
 
@@ -2242,6 +2261,7 @@ FROM d GROUP BY text
 """,
         "dedup_passage": _passage_oracle(),
         "dedup_substring": _substring_oracle(),
+        "url_host_rank": _host_rank_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3050,6 +3070,14 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _host_rank_oracle() -> str:
+    """Chained-CTE integer PageRank replay over the same synthetic
+    host-link graph."""
+    from openccnet_spark.operators.hostrank import sql_host_rank, sql_synth_host_edges
+
+    return sql_host_rank(sql_synth_host_edges("documents"))
 
 
 def _substring_oracle() -> str:
