@@ -280,6 +280,19 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-integrity context packing: whole conversations into
+    2048-token bins via the exact distributed prefix sum at conversation
+    grain — an SFT sample never splits across training sequences. One
+    conv_id shuffle for the token sums, then the bucketed-prefix-sum
+    placement (4096 reducers, no global sort)."""
+    from openccnet_spark.operators.conversations import conversation_pack
+
+    return conversation_pack(
+        spark_transcripts(spark, n_conv_for_sf(sf_dir)), window=2048
+    )
+
+
 def _q_url_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank over the synthetic host-link graph (forward ring
     + hub funnel edges derived from the documents table), 3 rounds,
@@ -2106,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": _armed(_q_mixture_rebalance),
         "dedup_substring": _armed(_q_dedup_substring),
         "url_host_rank": _armed(_q_url_host_rank),
+        "conv_pack": _armed(_q_conv_pack),
     }
 
 
@@ -2262,6 +2276,7 @@ FROM d GROUP BY text
         "dedup_passage": _passage_oracle(),
         "dedup_substring": _substring_oracle(),
         "url_host_rank": _host_rank_oracle(),
+        "conv_pack": _conv_pack_oracle("sf0.01"),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3070,6 +3085,14 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _conv_pack_oracle(sf_dir_sf: str) -> str:
+    """Naive single-window prefix-sum replay of the conversation packer
+    over the identical synthesized transcripts."""
+    from openccnet_spark.operators.conversations import sql_conversation_pack
+
+    return sql_conversation_pack(2048, f"({transcripts_sql(n_conv_for_sf(sf_dir_sf))})")
 
 
 def _host_rank_oracle() -> str:

@@ -303,3 +303,64 @@ SELECT conv_id,
        length(string_agg({piece}, '' ORDER BY turn_idx))::BIGINT AS n_chars
 FROM {from_clause} GROUP BY conv_id
 """
+
+
+# --------------------------------------------------------------------------
+# conversation_pack
+# --------------------------------------------------------------------------
+
+
+def conversation_pack(
+    df: DataFrame, window: int, text_col: str = "text"
+) -> DataFrame:
+    """Pack whole conversations into fixed token-capacity context bins.
+
+    SFT packing must never split a conversation across training
+    sequences, so the unit here is the conversation: one conv_id shuffle
+    sums whitespace token counts per conversation, then
+    ``packing.pack_chunks``' exact distributed prefix sum (canonical
+    (60-bit md5 key, conv_id) order) places each conversation, and its
+    bin is the chunk its start offset falls in — conversations land
+    whole, bins run over the cap by at most one conversation (the same
+    doc-granular rule ``shards.assign_shards`` uses). Deterministic at
+    any partitioning.
+
+    Output: ``(conv_id, n_tokens, start_offset, bin_id)``.
+    """
+    from .packing import pack_chunks
+
+    convs = df.groupBy("conv_id").agg(
+        F.sum(F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")))
+        .cast("long")
+        .alias("conv_tokens")
+    )
+    packed = pack_chunks(
+        convs, window, id_col="conv_id", tokens_col=F.col("conv_tokens")
+    )
+    return packed.select(
+        "conv_id", "n_tokens", "start_offset", F.col("first_chunk").alias("bin_id")
+    )
+
+
+def sql_conversation_pack(window: int, from_clause: str) -> str:
+    """DuckDB replay: per-conv token sums -> the naive single-window
+    global prefix sum over the same (md5 key, conv_id) order."""
+    return f"""
+WITH turns AS (SELECT conv_id, text FROM {from_clause}),
+c AS (
+  SELECT conv_id,
+         sum(len(string_split(coalesce(text, ''), ' ')))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('pack:' || conv_id), 1, 15))::BIGINT AS hkey
+  FROM turns GROUP BY conv_id
+),
+p AS (
+  SELECT conv_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY hkey, conv_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start_offset
+  FROM c WHERE n_tokens > 0
+)
+SELECT conv_id, n_tokens, start_offset,
+       (start_offset // {int(window)})::BIGINT AS bin_id
+FROM p
+"""

@@ -144,3 +144,27 @@ def test_render_matches_duckdb(spark):
     duckdb.register("rd_t", pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"]))
     want = sorted(map(tuple, duckdb.sql(sql_render_chat_template("rd_t")).fetchall()))
     assert got == want
+
+
+def test_conversation_pack_integrity_and_capacity(spark):
+    """Every conversation lands in exactly one bin; a bin exceeds the
+    window by at most one conversation's overhang; the placement is
+    identical under a different input partitioning (determinism)."""
+    from openccnet_spark.operators.conversations import conversation_pack
+
+    rows = [(f"c{c}", t, "user", " ".join(["w"] * (3 + (c * 7 + t) % 9)))
+            for c in range(40) for t in range((c % 5) + 1)]
+    df = _conv(spark, rows)
+    out = {r["conv_id"]: (r["n_tokens"], r["start_offset"], r["bin_id"])
+           for r in conversation_pack(df, window=50).collect()}
+    assert len(out) == 40  # one row per conversation, never split
+    # bin load = sum of member tokens; only the straddling conv overhangs
+    loads: dict[int, int] = {}
+    for n, off, b in out.values():
+        loads[b] = loads.get(b, 0) + n
+        assert off // 50 == b
+    max_conv = max(n for n, _, _ in out.values())
+    assert all(load < 50 + max_conv for load in loads.values())
+    out2 = {r["conv_id"]: (r["n_tokens"], r["start_offset"], r["bin_id"])
+            for r in conversation_pack(df.repartition(13), window=50).collect()}
+    assert out == out2
