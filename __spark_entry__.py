@@ -280,6 +280,20 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-lite boilerplate removal: synthesized multi-block pages
+    (nav + content paragraph + cookie banner + link footer) classified
+    block-by-block with link-density + text-mass rules, pure JVM
+    expressions, zero shuffles. Oracle replays the identical constants
+    in DuckDB."""
+    from openccnet_spark.operators.boilerplate import extract_main_text, sql_synth_page
+
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(sql_synth_page("coalesce(text, '')")).alias("html")
+    )
+    return extract_main_text(pages)
+
+
 def _q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-integrity context packing: whole conversations into
     2048-token bins via the exact distributed prefix sum at conversation
@@ -2120,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _armed(_q_dedup_substring),
         "url_host_rank": _armed(_q_url_host_rank),
         "conv_pack": _armed(_q_conv_pack),
+        "html_boilerplate": _armed(_q_html_boilerplate),
     }
 
 
@@ -2277,6 +2292,7 @@ FROM d GROUP BY text
         "dedup_substring": _substring_oracle(),
         "url_host_rank": _host_rank_oracle(),
         "conv_pack": _conv_pack_oracle("sf0.01"),
+        "html_boilerplate": _boilerplate_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3085,6 +3101,17 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _boilerplate_oracle() -> str:
+    """Block classifier replayed in DuckDB over the same synth pages."""
+    from openccnet_spark.operators.boilerplate import (
+        sql_extract_main_text,
+        sql_synth_page,
+    )
+
+    page = sql_synth_page("coalesce(text, '')")
+    return sql_extract_main_text(f"(SELECT doc_id, {page} AS html FROM documents)")
 
 
 def _conv_pack_oracle(sf_dir_sf: str) -> str:
