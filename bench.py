@@ -638,6 +638,7 @@ def main() -> int:
             "curation_e2e",
             "streaming_dedup_replay", "streaming_quality_filter",
             "conv_fold_tools", "conv_gate", "conv_dedup_exact", "conv_render",
+            "dedup_substring", "url_host_rank", "conv_pack", "html_boilerplate",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
             queries[name] = round(dt, 3)
