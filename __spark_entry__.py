@@ -280,6 +280,26 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors within cos >= 0.99
+    of any eval vector (eval = vec_id % 37 == 5, the n-gram query's
+    split; planted contamination = exact eval copies at +100000). The
+    cross-set LSH bucket join — the eval side is bounded, the corpus
+    never cross-joins — shares the near-dup family's recall argument, so
+    the oracle is the brute-force cosine join."""
+    from openccnet_spark.operators.similarity import semantic_decontaminate
+
+    embs = _read(spark, sf_dir, "embeddings")
+    eval_df = embs.filter(F.col("vec_id") % 37 == 5)
+    corpus = embs.filter(F.col("vec_id") % 37 != 5).unionByName(
+        eval_df.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    handles: list = []
+    out = semantic_decontaminate(corpus, eval_df, persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
+
+
 def _q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-lite boilerplate removal: synthesized multi-block pages
     (nav + content paragraph + cookie banner + link footer) classified
@@ -2135,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_rank": _armed(_q_url_host_rank),
         "conv_pack": _armed(_q_conv_pack),
         "html_boilerplate": _armed(_q_html_boilerplate),
+        "decontaminate_semantic": _armed(_q_decontaminate_semantic),
     }
 
 
@@ -2293,6 +2314,7 @@ FROM d GROUP BY text
         "url_host_rank": _host_rank_oracle(),
         "conv_pack": _conv_pack_oracle("sf0.01"),
         "html_boilerplate": _boilerplate_oracle(),
+        "decontaminate_semantic": _decontaminate_semantic_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3101,6 +3123,27 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _decontaminate_semantic_oracle() -> str:
+    """Brute-force cosine join of the same corpus/eval split."""
+    from openccnet_spark.operators.similarity import sql_cosine
+
+    cos = sql_cosine("c.embedding", "ev.embedding")
+    return f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 5),
+c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 5
+  UNION ALL SELECT vec_id + 100000, embedding FROM ev
+),
+p AS (
+  SELECT c.vec_id, floor({cos} * 1000)::BIGINT AS cos_milli
+  FROM c, ev
+  WHERE floor({cos} * 1000) >= 990
+)
+SELECT vec_id, count(*)::BIGINT AS n_matches, max(cos_milli)::BIGINT AS max_cos_milli
+FROM p GROUP BY vec_id
+"""
 
 
 def _boilerplate_oracle() -> str:

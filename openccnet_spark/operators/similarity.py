@@ -694,6 +694,69 @@ def lsh_near_duplicates(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold_milli: int = 990,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    persist: bool = False,
+    handles: list | None = None,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus
+    vector within ``threshold_milli`` cosine of ANY eval-set vector.
+
+    N-gram decontamination (``curation.decontaminate``) misses
+    paraphrased contamination; this is its semantic sibling — the
+    cross-SET form of ``lsh_near_duplicates``: both sides are tagged
+    once in the shared Arrow bucket stage (carried fold-ordered norms),
+    candidates come from the bucket equi-join of the bounded eval side
+    against the corpus (the 100 TB side never cross-joins and only
+    (bucket, id, vector) shuffles), the corpus side is guarded against
+    degenerate buckets, and the exact-cosine verify is identical to the
+    near-dup family — so it shares the brute-force oracle's recall
+    argument (missing all 8 buckets at cos >= 0.99 is ~1.5e-6).
+
+    Output: ``(id_col, n_matches, max_cos_milli)`` — contaminated corpus
+    rows only (downstream anti-joins the ids away).
+    """
+    tagged_c = lsh_tagged_frame(corpus, id_col, vec_col, dim)
+    tagged_e = lsh_tagged_frame(eval_df, id_col, vec_col, dim)
+    if persist and handles is not None:
+        # the corpus tagging is consumed by the guard count and the join
+        # probe — persist only with a release channel (CLAUDE.md)
+        tagged_c = tagged_c.persist()
+        handles.append(tagged_c)
+    sized_c = oversized_bucket_filter(tagged_c, "bucket")
+    c = sized_c.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("vc"),
+        F.col("norm").alias("nc"), "bucket",
+    )
+    e = tagged_e.select(
+        F.col(id_col).alias("eid"), F.col(vec_col).alias("ve"),
+        F.col("norm").alias("ne"), "bucket",
+    )
+    pairs = (
+        c.join(e, "bucket")
+        .withColumn(
+            "cos_milli",
+            F.floor(
+                _dot(F.col("vc"), F.col("ve")) / (F.col("nc") * F.col("ne")) * 1000
+            ).cast("long"),
+        )
+        .filter(F.col("cos_milli") >= threshold_milli)
+        # scalar-only distinct collapses the <= N_TABLES bucket copies of
+        # a pair before the aggregate — ids + score, never the vectors
+        .select("cid", "eid", "cos_milli")
+        .distinct()
+    )
+    return pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("cos_milli").alias("max_cos_milli"),
+    ).select(F.col("cid").alias(id_col), "n_matches", "max_cos_milli")
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold_milli: int = 950,

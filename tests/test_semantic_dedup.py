@@ -99,3 +99,51 @@ def test_semantic_dedup_matches_duckdb_replay(spark):
     sql = sql_semantic_dedup("sem_t", centroids, threshold_milli=990)
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert got == want
+
+
+def test_semantic_decontaminate_flags_planted_and_only_planted(spark):
+    """Exact eval copies planted in the corpus must be flagged with
+    cos_milli = 1000 and matched at least against their source; clean
+    orthogonal corpus rows must not appear."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openccnet_spark.operators.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(5)
+    dim = 64
+    evals = [(i, rng.normal(size=dim).tolist()) for i in range(3)]
+    # corpus: the 3 planted copies + 20 random (almost surely < 0.99 cos)
+    corpus = [(100 + i, v) for i, v in evals] + [
+        (200 + j, rng.normal(size=dim).tolist()) for j in range(20)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    handles: list = []
+    out = semantic_decontaminate(
+        spark.createDataFrame(corpus, schema),
+        spark.createDataFrame(evals, schema),
+        persist=True,
+        handles=handles,
+    )
+    rows = {r["vec_id"]: (r["n_matches"], r["max_cos_milli"]) for r in out.collect()}
+    for h in handles:
+        h.unpersist()
+    assert set(rows) == {100, 101, 102}
+    # identical vectors: cos = dot/(sqrt(s)*sqrt(s)) can land one ulp
+    # under 1.0, so the milli floor is 999 or 1000 (oracle floors alike)
+    assert all(v[1] >= 999 for v in rows.values())
+
+
+def test_semantic_decontaminate_pair_distinct_not_per_bucket(spark):
+    """A pair sharing several LSH buckets must count as ONE match (the
+    scalar distinct collapses bucket copies)."""
+    from openccnet_spark.operators.similarity import semantic_decontaminate
+
+    v = [1.0] * 64
+    schema = "vec_id long, embedding array<double>"
+    out = semantic_decontaminate(
+        spark.createDataFrame([(7, v)], schema),
+        spark.createDataFrame([(1, v), (2, v)], schema),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_matches"] == 2 and out[0]["max_cos_milli"] == 1000
