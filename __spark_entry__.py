@@ -280,6 +280,47 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table semantics end-to-end: build a fresh versioned
+    table (v1 append docs%3==0, v2 append %3==1, v3 OVERWRITE %3==2),
+    then probe time travel (read v2), incremental read ((1,2]) and the
+    current snapshot, emitting (probe, n_rows, id_digest) — the digest
+    is the order-free bit_xor of 60-bit doc-id hashes, so the oracle
+    fully value-checks which FILES each read resolved to."""
+    import shutil
+
+    from openccnet_spark.sources.snapshots import (
+        read_incremental,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tbl = "/tmp/openccnet_snapshot_q"
+    shutil.rmtree(tbl, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 0), tbl)
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 1), tbl)
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 2), tbl, mode="overwrite")
+    probes = [
+        ("time_travel_v2", read_snapshot(spark, tbl, 2)),
+        ("incremental_1_2", read_incremental(spark, tbl, after=1, until=2)),
+        ("current_v3", read_snapshot(spark, tbl)),
+    ]
+    out = None
+    for name, df in probes:
+        agg = df.agg(
+            F.lit(name).alias("probe"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(
+                F.expr(
+                    "CAST(conv(substr(md5(concat('snap:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                )
+            ).alias("id_digest"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def _q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination: corpus vectors within cos >= 0.99
     of any eval vector (eval = vec_id % 37 == 5, the n-gram query's
@@ -2156,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pack": _armed(_q_conv_pack),
         "html_boilerplate": _armed(_q_html_boilerplate),
         "decontaminate_semantic": _armed(_q_decontaminate_semantic),
+        "snapshot_time_travel": _armed(_q_snapshot_time_travel),
     }
 
 
@@ -2315,6 +2357,7 @@ FROM d GROUP BY text
         "conv_pack": _conv_pack_oracle("sf0.01"),
         "html_boilerplate": _boilerplate_oracle(),
         "decontaminate_semantic": _decontaminate_semantic_oracle(),
+        "snapshot_time_travel": _snapshot_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3123,6 +3166,23 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _snapshot_oracle() -> str:
+    """The three snapshot probes resolve to doc_id predicates on the
+    source table (v2 live set = %3 in (0,1); the (1,2] increment = %3==1;
+    v3 overwrote to %3==2) — the digests pin the exact file sets."""
+    digest = "bit_xor(('0x' || substr(md5('snap:' || doc_id), 1, 15))::BIGINT)::BIGINT"
+    return f"""
+SELECT 'time_travel_v2' AS probe, count(*)::BIGINT AS n_rows, {digest} AS id_digest
+FROM documents WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT 'incremental_1_2', count(*)::BIGINT, {digest}
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'current_v3', count(*)::BIGINT, {digest}
+FROM documents WHERE doc_id % 3 = 2
+"""
 
 
 def _decontaminate_semantic_oracle() -> str:

@@ -639,6 +639,7 @@ def main() -> int:
             "streaming_dedup_replay", "streaming_quality_filter",
             "conv_fold_tools", "conv_gate", "conv_dedup_exact", "conv_render",
             "dedup_substring", "url_host_rank", "conv_pack", "html_boilerplate",
+            "decontaminate_semantic", "snapshot_time_travel",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
             queries[name] = round(dt, 3)
