@@ -280,6 +280,29 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_doubled_docs(spark, sf_dir))
 
 
+def _q_url_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gating over the synthetic crawl: per-host rule
+    sets broadcast as bounded arrays, the longest-match/allow-ties fold
+    runs JVM-side per URL, the corpus never shuffles. The oracle decides
+    the same rule RELATIONALLY (rank by prefix length desc, allow desc)
+    so fold bugs and rank bugs cannot cancel."""
+    from openccnet_spark.operators.robots import (
+        path_col,
+        robots_gate,
+        synth_robots_rules,
+    )
+    from openccnet_spark.operators.urls import host_col, synth_url_col
+
+    urls = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", synth_url_col("doc_id").alias("url"))
+        .select(
+            "doc_id", host_col("url").alias("host"), path_col("url").alias("path")
+        )
+    )
+    return robots_gate(urls, synth_robots_rules(spark))
+
+
 def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-table semantics end-to-end: build a fresh versioned
     table (v1 append docs%3==0, v2 append %3==1, v3 OVERWRITE %3==2),
@@ -2198,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_boilerplate": _armed(_q_html_boilerplate),
         "decontaminate_semantic": _armed(_q_decontaminate_semantic),
         "snapshot_time_travel": _armed(_q_snapshot_time_travel),
+        "url_robots_gate": _armed(_q_url_robots_gate),
     }
 
 
@@ -2358,6 +2382,7 @@ FROM d GROUP BY text
         "html_boilerplate": _boilerplate_oracle(),
         "decontaminate_semantic": _decontaminate_semantic_oracle(),
         "snapshot_time_travel": _snapshot_oracle(),
+        "url_robots_gate": _robots_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3166,6 +3191,28 @@ def _passage_oracle() -> str:
         "UNION ALL SELECT doc_id + 100000, text FROM documents)"
     )
     return sql_passage_dedup(doubled)
+
+
+def _robots_oracle() -> str:
+    """Relational longest-match replay of the robots decision."""
+    from openccnet_spark.operators.robots import sql_path, sql_synth_robots_rules
+    from openccnet_spark.operators.urls import sql_host, sql_synth_url
+
+    url = sql_synth_url("doc_id")
+    return f"""
+WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+h AS (SELECT doc_id, {sql_host("url")} AS host, {sql_path("url")} AS path FROM u),
+m AS (
+  SELECT h.doc_id, r.allow,
+         row_number() OVER (PARTITION BY h.doc_id
+                            ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+  FROM h JOIN {sql_synth_robots_rules()} r
+    ON r.host = h.host AND starts_with(h.path, r.prefix)
+)
+SELECT h.doc_id, h.host, h.path,
+       coalesce(m.allow, true) AS robots_allowed
+FROM h LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m USING (doc_id)
+"""
 
 
 def _snapshot_oracle() -> str:
