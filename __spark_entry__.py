@@ -409,6 +409,29 @@ def _q_url_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier budget: 1,000,000 fetch slots apportioned over
+    hosts by their PageRank weight via the exact largest-remainder
+    method (sum(quota) == budget bit-exactly). The top-L remainder
+    selection uses the histogram-cutoff decomposition — only the
+    boundary remainder bucket pays a sort."""
+    from openccnet_spark.operators.hostrank import (
+        apportion_budget,
+        host_rank,
+        synth_host_edges,
+    )
+
+    handles: list = []
+    ranks = host_rank(
+        synth_host_edges(_read(spark, sf_dir, "documents")),
+        persist=True,
+        handles=handles,
+    )
+    out = apportion_budget(ranks, budget=1_000_000)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
+
+
 def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring removal (Lee et al. 2022, sliding-window
     form): every 8-token window hashed at stride 1, globally first
@@ -2222,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": _armed(_q_decontaminate_semantic),
         "snapshot_time_travel": _armed(_q_snapshot_time_travel),
         "url_robots_gate": _armed(_q_url_robots_gate),
+        "crawl_budget": _armed(_q_crawl_budget),
     }
 
 
@@ -2383,6 +2407,7 @@ FROM d GROUP BY text
         "decontaminate_semantic": _decontaminate_semantic_oracle(),
         "snapshot_time_travel": _snapshot_oracle(),
         "url_robots_gate": _robots_oracle(),
+        "crawl_budget": _crawl_budget_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_minhash_oracle(),
         "dedup_components": _dedup_components_oracle(),
@@ -3278,6 +3303,19 @@ def _host_rank_oracle() -> str:
     from openccnet_spark.operators.hostrank import sql_host_rank, sql_synth_host_edges
 
     return sql_host_rank(sql_synth_host_edges("documents"))
+
+
+def _crawl_budget_oracle() -> str:
+    """Naive global-rank largest-remainder replay over the replayed
+    PageRank weights (CTEs nest inside the parenthesized subquery)."""
+    from openccnet_spark.operators.hostrank import (
+        sql_apportion_budget,
+        sql_host_rank,
+        sql_synth_host_edges,
+    )
+
+    hr = sql_host_rank(sql_synth_host_edges("documents"))
+    return sql_apportion_budget(f"({hr})", budget=1_000_000)
 
 
 def _substring_oracle() -> str:

@@ -34,7 +34,7 @@ of the URL-curation family (``operators/urls.py``) the brief adds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .urls import N_HOSTS, PAGE_GROUP, _CDN_EVERY
@@ -46,6 +46,9 @@ __all__ = [
     "synth_host_edges",
     "sql_synth_host_edges",
     "host_rank",
+    "apportion_budget",
+    "sql_apportion_budget",
+    "apportion_budget_py",
 ]
 
 #: fixed-point scale of the rank values (sum over nodes ~= SCALE)
@@ -198,3 +201,130 @@ def host_rank_py(edges, n_rounds: int = 3, damping_pct: int = DAMPING_PCT,
             nxt[dst] += (ranks[s] * damping_pct) // (100 * out[s])
         ranks = nxt
     return ranks
+
+
+# ------------------------------------------------------- budget apportionment
+
+
+def apportion_budget(
+    weights: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    weight_col: str = "rank",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Allocate an integer crawl budget over hosts by weight — the
+    largest-remainder (Hamilton) method, exactly:
+
+        base_i = (B * w_i) DIV W,   rem_i = (B * w_i) % W
+        leftover L = B - sum(base); the L largest (rem, host ASC) get +1
+
+    so ``sum(quota) == budget`` exactly, deterministic at any
+    partitioning. Feeds the crawl frontier from ``host_rank`` output
+    (or any rank*quality weight).
+
+    Scale shape: the remainder domain is unbounded (0..W-1), so the
+    top-L selection uses the histogram-cutoff decomposition
+    (``curation.top_fraction_select``'s shape): remainders bucket by
+    integer DIV into ``n_buckets`` ranges (a <= n_buckets-row map-side
+    combined histogram finds the cutoff bucket), hosts in strictly
+    higher buckets take +1 via a broadcast-filter, and ONLY the
+    boundary bucket pays an exact (rem DESC, host ASC) window. W and L
+    are the only driver scalars.
+
+    Output: ``(host_col, weight_col, quota)``.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = weights.select(
+        F.col(host_col), F.col(weight_col).cast("long").alias("w")
+    )
+    tot = w.agg(F.sum("w").alias("W"), F.max("w").alias("mx")).first()
+    W, mx = tot["W"], tot["mx"]
+    if not W or W <= 0:
+        raise ValueError("total weight must be > 0")
+    if budget * mx > (1 << 62):
+        raise ValueError("budget * max(weight) would overflow int64; rescale weights")
+    placed = w.select(
+        host_col,
+        F.col("w"),
+        F.expr(f"(w * {budget}) DIV {W}").alias("base"),
+        F.expr(f"(w * {budget}) % {W}").alias("rem"),
+    ).withColumn("bucket", F.expr(f"rem * {n_buckets} DIV {W}"))
+    sums = placed.agg(F.sum("base").alias("sb")).first()
+    leftover = budget - (sums["sb"] or 0)
+    if not leftover:
+        return placed.select(
+            host_col, F.col("w").alias(weight_col), F.col("base").alias("quota")
+        )
+
+    hist = placed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_above = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cut = (
+        hist.withColumn("above", F.coalesce(F.sum("cnt").over(w_above), F.lit(0)))
+        .filter(
+            (F.col("above") < leftover)
+            & (F.col("above") + F.col("cnt") >= leftover)
+        )
+        .select(
+            F.col("bucket").alias("cut_bucket"),
+            (F.lit(leftover) - F.col("above")).alias("tie_quota"),
+        )
+    )
+    tagged = placed.join(F.broadcast(cut), how="cross")
+    above = tagged.filter(F.col("bucket") > F.col("cut_bucket")).select(
+        host_col, "w", (F.col("base") + 1).alias("quota")
+    )
+    w_tie = Window.orderBy(F.col("rem").desc(), F.col(host_col).asc())
+    boundary = (
+        tagged.filter(F.col("bucket") == F.col("cut_bucket"))
+        .withColumn("rn", F.row_number().over(w_tie))
+        .select(
+            host_col,
+            "w",
+            (F.col("base") + F.when(F.col("rn") <= F.col("tie_quota"), 1).otherwise(0)).alias("quota"),
+        )
+    )
+    below = tagged.filter(F.col("bucket") < F.col("cut_bucket")).select(
+        host_col, "w", F.col("base").alias("quota")
+    )
+    return (
+        above.unionByName(boundary)
+        .unionByName(below)
+        .select(host_col, F.col("w").alias(weight_col), "quota")
+    )
+
+
+def sql_apportion_budget(
+    weights_rel: str, budget: int, host_col: str = "host", weight_col: str = "rank"
+) -> str:
+    """DuckDB oracle: the NAIVE global-rank form of the same rule."""
+    return f"""
+WITH w AS (SELECT {host_col} AS host, {weight_col}::BIGINT AS w FROM {weights_rel}),
+t AS (SELECT sum(w)::BIGINT AS totw, count(*)::BIGINT AS n FROM w),
+p AS (
+  SELECT host, w,
+         (w * {budget}) // totw AS base,
+         (w * {budget}) % totw AS rem,
+         row_number() OVER (ORDER BY (w * {budget}) % totw DESC, host ASC) AS rn
+  FROM w, t
+),
+l AS (SELECT {budget} - sum(base)::BIGINT AS leftover FROM p)
+SELECT host AS {host_col}, w AS {weight_col},
+       (base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM p, l
+"""
+
+
+def apportion_budget_py(weights, budget: int):
+    """Scalar ground truth for ``apportion_budget``; ``weights`` =
+    [(host, w)]. Returns {host: quota}."""
+    W = sum(w for _, w in weights)
+    base = {h: (w * budget) // W for h, w in weights}
+    rem = {h: (w * budget) % W for h, w in weights}
+    leftover = budget - sum(base.values())
+    order = sorted(weights, key=lambda hw: (-rem[hw[0]], hw[0]))
+    plus = {h for h, _ in order[:leftover]}
+    return {h: base[h] + (1 if h in plus else 0) for h, _ in weights}

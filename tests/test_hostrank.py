@@ -81,3 +81,47 @@ def test_plan_edges_persist_and_partial_sums(spark):
     assert "Window" not in plan
     for h in handles:
         h.unpersist()
+
+
+def test_apportion_differential_and_exact_total(spark):
+    """120 random-weight hosts at several budgets: Spark must equal the
+    scalar largest-remainder ground truth and the total must be the
+    budget bit-exactly (including heavy remainder ties)."""
+    from openccnet_spark.operators.hostrank import (
+        apportion_budget,
+        apportion_budget_py,
+    )
+
+    rng = random.Random(17)
+    weights = [(f"h{i:03d}", rng.randrange(1, 50) * 10) for i in range(120)]
+    df = spark.createDataFrame(weights, "host string, rank long")
+    for budget in (7, 1000, 999_983):
+        got = {
+            r["host"]: r["quota"]
+            for r in apportion_budget(df, budget).collect()
+        }
+        assert got == apportion_budget_py(weights, budget)
+        assert sum(got.values()) == budget
+
+
+def test_apportion_zero_leftover_path(spark):
+    """Equal weights dividing the budget exactly exercise the
+    no-boundary early return."""
+    from openccnet_spark.operators.hostrank import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("d", 5)], "host string, rank long"
+    )
+    got = {r["host"]: r["quota"] for r in apportion_budget(df, 100).collect()}
+    assert got == {"a": 25, "b": 25, "c": 25, "d": 25}
+
+
+def test_apportion_guards(spark):
+    from openccnet_spark.operators.hostrank import apportion_budget
+
+    zero = spark.createDataFrame([("a", 0)], "host string, rank long")
+    try:
+        apportion_budget(zero, 10)
+        assert False, "expected ValueError on zero total weight"
+    except ValueError:
+        pass
