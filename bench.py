@@ -640,6 +640,7 @@ def main() -> int:
             "conv_fold_tools", "conv_gate", "conv_dedup_exact", "conv_render",
             "dedup_substring", "url_host_rank", "conv_pack", "html_boilerplate",
             "decontaminate_semantic", "snapshot_time_travel",
+            "url_robots_gate", "crawl_budget",
         ):
             dt, st = _timed(lambda: q[name](spark, SF_DIR))
             queries[name] = round(dt, 3)
