@@ -191,7 +191,7 @@ def _time_query(build) -> float:
     return dt
 
 
-def _timed(build, extra_rep_under: float = 20.0) -> tuple[float, float]:
+def _timed(build, extra_rep_under: float = 30.0) -> tuple[float, float]:
     """(best_time, steal%% during the best rep). Min-over-reps: tenant
     noise only ever SLOWS a run, so the minimum is the consistent
     estimator (same reasoning as the scaling pair). A second rep runs
@@ -199,7 +199,12 @@ def _timed(build, extra_rep_under: float = 20.0) -> tuple[float, float]:
     cheap queries are the ones whose single-rep readings are dominated by
     fixed overhead + noise (the r01->r02 and r04 x6 false regressions),
     while the heavy iterative/LSH queries self-average across many
-    internal jobs and carry their steal stamp instead."""
+    internal jobs and carry their steal stamp instead. The cutoff sits
+    ABOVE the worst cold first rep of any warm-cheap query: conv_gate is
+    ~3 s warm but its cold rep (Python-worker spawn storm under
+    contention) read 24 s in three r6/r7 windows — under a 20 s cutoff
+    that cold rep was recorded as the final value with no retry, which
+    is exactly the conv-family 'regression' the r6 verdict flagged."""
     s0 = _read_cpu_stat()
     best = _time_query(build)
     best_steal = _steal_pct(s0, _read_cpu_stat())
