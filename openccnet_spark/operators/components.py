@@ -177,10 +177,24 @@ def connected_components(
     bench reports it alongside the timing.
     """
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        # both directions from ONE pass over pairs: a union of two
+        # pairs-projections references the input subtree twice, and when
+        # pairs is an expensive un-materialized frame (the LSH verify
+        # join) the first edges job executes it twice — measured ~2x the
+        # whole dedup_components query at sf0.1. explode is one reference.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("de")
         )
+        .select(F.col("de.src").alias("src"), F.col("de.dst").alias("dst"))
         .distinct()
         # pre-partition on the per-round join key: the persisted
         # HashPartitioning(dst) satisfies every iteration's join
@@ -212,6 +226,11 @@ def connected_components(
             ).first()
             return (row[0], row[1])
 
+        # NOTE: this pre-loop digest is load-bearing beyond convergence
+        # detection — it MATERIALIZES the persisted labels (and edges
+        # beneath them) before round 1's plan references labels twice
+        # (the rebuild join + nbr_min); dropping it would re-evaluate the
+        # whole un-filled subtree (pairs included) once per reference.
         prev = digest(labels)
         for _round in range(max_iterations):
             nbr_min = (
@@ -292,10 +311,13 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # all nodes of the input graph (singleton-free: pairs always have 2 ends)
+    # all nodes of the input graph (singleton-free: pairs always have 2
+    # ends); one explode pass — a two-branch union would re-execute the
+    # un-materialized pairs subtree (same fix as propagation's edges)
     nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        pairs.select(
+            F.explode(F.array(F.col(a_col), F.col(b_col))).alias("node")
+        )
         .distinct()
         .persist()
     )
