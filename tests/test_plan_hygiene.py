@@ -111,7 +111,12 @@ def test_ann_candidate_distinct_carries_no_vectors(spark):
     equals its keys, so scalar keys <=> scalar exchange."""
     import re
 
-    for name in ("similarity_ann", "similarity_ivf", "dedup_embedding_lsh"):
+    for name in (
+        "similarity_ann",
+        "similarity_ivf",
+        "dedup_embedding_lsh",
+        "decontaminate_semantic",
+    ):
         plan = _plan(entry_mod.queries()[name](spark, SF_DIR), "simple")
         distincts = re.findall(
             r"HashAggregate\(keys=\[([^\]]*)\], functions=\[\]", plan
