@@ -1567,6 +1567,106 @@ def extract_pdf_text(
     return "\n".join(parts) + "\n" if parts else ""
 
 
+def _match_groups(cols: list, groups: list, x_tol: float) -> list[int] | None:
+    """Assign each row group to a distinct grid column by left edge
+    (both sorted; two-pointer). None if any group matches no column —
+    rows may have FEWER groups than the grid (missing/empty cells), never
+    unmatched ones."""
+    out: list[int] = []
+    i = 0
+    for g in groups:
+        while i < len(cols) and cols[i][0] < g[0] - x_tol:
+            i += 1
+        if i >= len(cols) or abs(cols[i][0] - g[0]) > x_tol:
+            return None
+        out.append(i)
+        i += 1
+    return out
+
+
+def extract_pdf_tables(
+    data: bytes,
+    password: bytes | str = b"",
+    min_gutter: float = 18.0,
+    min_rows: int = 2,
+    min_cols: int = 2,
+    x_tol: float = 10.0,
+) -> list[list[list[list[str]]]]:
+    """Detect column-aligned text grids (tables) from positioned runs.
+
+    Returns one list per page; each table is rows (top-to-bottom) of
+    cell strings (left-to-right, ``''`` for an empty cell). A table is a
+    maximal block of >= ``min_rows`` consecutive baselines whose runs
+    fall into the SAME >= ``min_cols`` x-interval groups (gutters of at
+    least ``min_gutter`` between them, left edges agreeing within
+    ``x_tol``); each row's runs are assigned to the rightmost column
+    whose left edge they reach, and rendered with the extractor's
+    standard gap rule.
+
+    Opt-in by nature (the reference's ContentOrderTextExtractor has no
+    table concept — this closes the SURVEY §2.8 table-extraction scope
+    cut). Known limitation, documented: a two-column BODY page is
+    geometrically a two-column grid, so on column-layout documents
+    either pre-split with ``column_layout=True`` or raise ``min_cols``
+    to 3 — the detector reads geometry, not semantics. Failures on a
+    page (bad content stream) yield that page's ``[]``, never an
+    exception — same degradation contract as text extraction.
+    """
+    doc = PdfDocument(data, password=password)
+    out: list[list[list[list[str]]]] = []
+    for page in doc.pages():
+        tables: list[list[list[str]]] = []
+        try:
+            runs = _page_runs(doc, page)
+        except Exception:
+            out.append(tables)
+            continue
+        by_line = _hf_rows(runs)
+        rows = [by_line[y] for y in sorted(by_line, reverse=True)]
+        cur_rows: list[list[tuple]] = []
+        cur_cols: list[list[float]] | None = None
+
+        def flush() -> None:
+            nonlocal cur_rows, cur_cols
+            if cur_cols is not None and len(cur_rows) >= min_rows:
+                table: list[list[str]] = []
+                for rrs in cur_rows:
+                    cells: list[list[tuple]] = [[] for _ in cur_cols]
+                    for r in sorted(rrs, key=lambda t: t[0]):
+                        ci = 0
+                        for i, g in enumerate(cur_cols):
+                            if r[0] >= g[0] - x_tol:
+                                ci = i
+                        cells[ci].append(r)
+                    table.append([_render_line(c) if c else "" for c in cells])
+                tables.append(table)
+            cur_rows, cur_cols = [], None
+
+        for rrs in rows:
+            groups = _gutter_groups(rrs, min_gutter)
+            matched = (
+                _match_groups(cur_cols, groups, x_tol)
+                if cur_cols is not None and len(groups) >= 1
+                else None
+            )
+            if cur_cols is not None and matched is not None and len(groups) >= 2:
+                # a continuation row: its groups all sit on known column
+                # edges (possibly a subset — missing/empty cells)
+                cur_rows.append(rrs)
+                for g, ci in zip(groups, matched):
+                    cur_cols[ci][0] = min(cur_cols[ci][0], g[0])
+                    cur_cols[ci][1] = max(cur_cols[ci][1], g[1])
+            elif len(groups) >= min_cols:
+                flush()
+                cur_rows = [rrs]
+                cur_cols = [list(g) for g in groups]
+            else:
+                flush()
+        flush()
+        out.append(tables)
+    return out
+
+
 def pdf_to_text(
     data: bytes,
     config: str | None = None,
