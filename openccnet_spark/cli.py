@@ -194,6 +194,23 @@ def _cmd_pdf(args: argparse.Namespace) -> int:
     output = args.output or str(Path(args.input).with_suffix(".txt"))
     Path(output).write_text(text, encoding="utf-8")
     print(f"wrote {output}")
+    if getattr(args, "tables", False):
+        from .sources.pdf import extract_pdf_tables
+
+        parts: list[str] = []
+        for i, page_tables in enumerate(
+            extract_pdf_tables(data, password=args.password or ""), 1
+        ):
+            if not page_tables:
+                continue
+            parts.append(f"=== [Page {i}] ===")
+            for table in page_tables:
+                parts.extend("\t".join(row) for row in table)
+                parts.append("")
+        tpath = output + ".tables.tsv"
+        Path(tpath).write_text("\n".join(parts) + ("\n" if parts else ""),
+                               encoding="utf-8")
+        print(f"wrote {tpath}")
     return 0
 
 
@@ -267,6 +284,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--norm-compat", "-n", action="store_true",
                    help="accepted for reference-CLI parity; extraction "
                         "always compat-normalizes (idempotent)")
+    d.add_argument(
+        "--tables",
+        action="store_true",
+        help="ALSO write detected tables as <output>.tables.tsv "
+        "(column-aligned baseline grids; tab-separated cells, one blank "
+        "line between tables, '=== [Page i] ===' sections; extension "
+        "beyond the reference CLI)",
+    )
     d.set_defaults(fn=_cmd_pdf)
 
     g = sub.add_parser("dictgen", help="compile the dictionary bundle (tools/dictgen.py)")

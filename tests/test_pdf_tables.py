@@ -69,3 +69,16 @@ def test_cjk_cells_and_multipage(spark):
 
 def test_garbage_degrades_to_empty(spark):
     assert extract_pdf_tables(b"%PDF-1.4 garbage") == []
+
+
+def test_cli_tables_flag(tmp_path):
+    from openccnet_spark.cli import main
+
+    rows = [["k", "v"], ["size", "42"]]
+    pdf = tmp_path / "doc.pdf"
+    pdf.write_bytes(build_pdf_positioned(_grid(72, 700, rows)))
+    out = tmp_path / "doc.txt"
+    rc = main(["pdf", "-i", str(pdf), "-o", str(out), "--extract", "--tables"])
+    assert rc == 0
+    tsv = (tmp_path / "doc.txt.tables.tsv").read_text()
+    assert tsv == "=== [Page 1] ===\nk\tv\nsize\t42\n\n"
