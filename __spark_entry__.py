@@ -277,7 +277,10 @@ def _q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = the naive window form of the same rule."""
     from openccnet_spark.operators.passages import passage_dedup
 
-    return passage_dedup(_doubled_docs(spark, sf_dir))
+    handles: list = []
+    out = passage_dedup(_doubled_docs(spark, sf_dir), persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _q_url_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,7 +430,7 @@ def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist=True,
         handles=handles,
     )
-    out = apportion_budget(ranks, budget=1_000_000)
+    out = apportion_budget(ranks, budget=1_000_000, persist=True, handles=handles)
     out._persist_handles = handles  # released by bench after materialization
     return out
 
@@ -443,7 +446,10 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same rule."""
     from openccnet_spark.operators.substrings import substring_dedup
 
-    return substring_dedup(_doubled_docs(spark, sf_dir))
+    handles: list = []
+    out = substring_dedup(_doubled_docs(spark, sf_dir), persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _mutant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,7 +1430,10 @@ def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.curation import budget_select
 
     docs = _read(spark, sf_dir, "documents")
-    return budget_select(docs, _TOKEN_BUDGETS)
+    handles: list = []
+    out = budget_select(docs, _TOKEN_BUDGETS, persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,7 +1448,10 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.curation import top_fraction_select
 
     docs = _read(spark, sf_dir, "documents")
-    return top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM)
+    handles: list = []
+    out = top_fraction_select(docs, frac_ppm=_TOP_FRAC_PPM, persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 _PACK_WINDOW = 256
@@ -1457,11 +1469,20 @@ def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.repetition import repetition_signals
 
     docs = _read(spark, sf_dir, "documents")
+    handles: list = []
     rep = repetition_signals(docs, carry_cols=("lang", "text")).filter(
         F.col("keep") == 1
     )
-    gated = top_fraction_select(rep, frac_ppm=_TOP_FRAC_PPM, carry_cols=("text",))
-    return pack_chunks(gated, _PACK_WINDOW)
+    # both persists: the repetition Arrow stage + score expr otherwise
+    # re-evaluate per branch of each downstream decomposition (3x in the
+    # top-fraction select, 2x more in pack_chunks)
+    gated = top_fraction_select(
+        rep, frac_ppm=_TOP_FRAC_PPM, carry_cols=("text",),
+        persist=True, handles=handles,
+    )
+    out = pack_chunks(gated, _PACK_WINDOW, persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,7 +1495,10 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.packing import pack_chunks
 
     docs = _read(spark, sf_dir, "documents")
-    return pack_chunks(docs, _PACK_WINDOW)
+    handles: list = []
+    out = pack_chunks(docs, _PACK_WINDOW, persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 _SHARD_TOKENS = 1000
@@ -1531,7 +1555,10 @@ def _q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openccnet_spark.operators.curation import mixture_rebalance
 
     docs = _read(spark, sf_dir, "documents")
-    return mixture_rebalance(docs, _MIX_TARGET_PPM)
+    handles: list = []
+    out = mixture_rebalance(docs, _MIX_TARGET_PPM, persist=True, handles=handles)
+    out._persist_handles = handles  # released by bench after materialization
+    return out
 
 
 def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,8 +2019,11 @@ def _q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tier's CORE pipeline (conversion + langid + ppl + heuristics +
     scrub) run INCREMENTALLY: the deterministic transcripts table is
-    written as 10 parquet files, read back as a file stream in multiple
-    micro-batches (maxFilesPerTrigger=3), passed through the SAME
+    written as 8 parquet files, read back as a file stream in multiple
+    micro-batches (maxFilesPerTrigger=4 -> 2 batches; fewer, larger
+    micro-batches amortize the per-batch scheduler + sink-commit cost,
+    the streaming analog of guide §2.2's fewer-larger-partitions rule,
+    while still exercising incremental execution), passed through the SAME
     `quality_filter` the batch query uses (the gate is stateless per
     turn, so it lifts to streaming unchanged), and appended to a parquet
     sink under an availableNow trigger with a streaming checkpoint. The
@@ -2011,8 +2041,8 @@ def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="openccnet-sqf-")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = os.path.join(root, "src")
-    base.repartition(10).write.parquet(src)
-    stream = read_transcripts_stream(spark, src, max_files_per_trigger=3)
+    base.repartition(8).write.parquet(src)
+    stream = read_transcripts_stream(spark, src, max_files_per_trigger=4)
     out = streaming_quality_filter(stream, config="t2s").select(
         "conv_id", "turn_idx", "keep", "drop_reason", "lang",
         "text_converted", "text_scrubbed",

@@ -207,8 +207,24 @@ def connected_components(
     )
     ck = _RoundCheckpointer(reliable, checkpoint_interval)
     try:
-        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-            "label", F.col("node")
+        # Seed labels with min(node, min in-neighbor) instead of the node
+        # itself: algebraically this IS the self-init plus one propagation
+        # round, folded into the init — so typical near-dup graphs
+        # (diameter 1-2 clusters) converge one full round earlier (one
+        # fewer edge-sized join + groupBy + checkpoint + digest). It is
+        # also CHEAPER than the old init: groupBy("dst") reuses the
+        # persisted HashPartitioning(dst) (zero exchange), where
+        # select(src).distinct() paid a full edge-sized shuffle. The
+        # fixpoint (min reachable id per node) is unchanged; edges are
+        # symmetric, so in-neighbors == neighbors and every node appears
+        # as a dst.
+        labels = (
+            edges.groupBy("dst")
+            .agg(F.min("src").alias("mn"))
+            .select(
+                F.col("dst").alias("node"),
+                F.least(F.col("dst"), F.col("mn")).alias("label"),
+            )
         )
         labels = ck.step(labels)
 

@@ -204,6 +204,8 @@ def budget_select(
     tokens_col: Column | None = None,
     n_buckets: int = 4096,
     salt: str = "budget:",
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Per-stratum token-budget prefix selection: order each stratum's
     documents by the deterministic 60-bit key, keep the maximal prefix
@@ -249,6 +251,12 @@ def budget_select(
         "bucket",
         F.expr(f"CAST(hkey DIV {(1 << 60) // n_buckets} AS INT)"),
     )
+    if persist and handles is not None:
+        # keyed (md5 key + token count over the input subtree) feeds the
+        # histogram AND both output branches — persist so the input
+        # evaluates once; release via the caller's handles (house rule)
+        keyed = keyed.persist()
+        handles.append(keyed)
 
     hist = keyed.groupBy(strata_col, "bucket", "budget").agg(
         F.sum("n_tokens").alias("bucket_tokens")
@@ -331,6 +339,8 @@ def mixture_rebalance(
     id_col: str = "doc_id",
     salt: str = "mix:",
     n_buckets: int = 4096,
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Rebalance the corpus to a target source mixture ("50% web, 30%
     code, 20% wiki") by deterministic subsampling: compute the per-stratum
@@ -358,6 +368,8 @@ def mixture_rebalance(
         tokens_col=F.lit(1),
         n_buckets=n_buckets,
         salt=salt,
+        persist=persist,
+        handles=handles,
     )
     return picked.select(id_col, strata_col)
 
@@ -369,6 +381,8 @@ def top_fraction_select(
     id_col: str = "doc_id",
     score_col: Column | None = None,
     carry_cols: tuple = (),
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Per-stratum top-fraction selection ("keep the best 30% of each
     language by quality score" — the C4/FineWeb-style adaptive gate):
@@ -401,6 +415,14 @@ def top_fraction_select(
         score_col.cast("long").alias("score"),
         *[F.col(c) for c in carry_cols],
     )
+    if persist and handles is not None:
+        # scored is consumed THREE times (histogram subtree inside the
+        # broadcast cut, the kept_above branch, the tie branch) — when the
+        # score expression is expensive (quality_score_milli's JVM regex,
+        # or an upstream Arrow stage like repetition_signals) each branch
+        # re-evaluated it. Persist only with a release channel.
+        scored = scored.persist()
+        handles.append(scored)
     hist = scored.groupBy(strata_col, "score").agg(F.count(F.lit(1)).alias("cnt"))
     w_above = (
         Window.partitionBy(strata_col)

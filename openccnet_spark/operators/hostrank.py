@@ -119,14 +119,29 @@ def host_rank(
     degree-annotated edge list (reused every round) and appends it to
     ``handles`` for the caller to unpersist.
     """
+    if persist and handles is not None:
+        # edges feeds the node set, the degree aggregate and the
+        # degree-annotated join — without this the upstream subtree (a
+        # docs scan + explode + distinct for the synthetic graph) ran
+        # once per consumer. Release via the caller's handles.
+        edges = edges.persist()
+        handles.append(edges)
+    # ONE explode pass over edges (a union of two projections would
+    # reference — and for an un-persisted input, re-execute — the edge
+    # subtree twice; same fix as components.connected_components)
     nodes = (
-        edges.select(F.col("src").alias("host"))
-        .union(edges.select(F.col("dst").alias("host")))
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("host")
+        )
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     edges_deg = edges.join(deg, "src")
     if persist and handles is not None:
+        # nodes is read every round (the left join) plus the initial rank
+        # frame and the count below
+        nodes = nodes.persist()
+        handles.append(nodes)
         edges_deg = edges_deg.persist()
         handles.append(edges_deg)
     n = nodes.count()
@@ -212,6 +227,8 @@ def apportion_budget(
     host_col: str = "host",
     weight_col: str = "rank",
     n_buckets: int = 4096,
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Allocate an integer crawl budget over hosts by weight — the
     largest-remainder (Hamilton) method, exactly:
@@ -239,6 +256,14 @@ def apportion_budget(
     w = weights.select(
         F.col(host_col), F.col(weight_col).cast("long").alias("w")
     )
+    if persist and handles is not None:
+        # the weights subtree is consumed by TWO driver aggregates (W/mx,
+        # sum(base)) plus the three output branches — when it is an
+        # un-materialized rank DAG (crawl_budget's 3-round PageRank) each
+        # consumer re-executed the whole DAG (~5 evaluations measured).
+        # Persist only with a release channel (the house `handles` rule).
+        w = w.persist()
+        handles.append(w)
     tot = w.agg(F.sum("w").alias("W"), F.max("w").alias("mx")).first()
     W, mx = tot["W"], tot["mx"]
     if not W or W <= 0:

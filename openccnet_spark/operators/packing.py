@@ -40,6 +40,8 @@ def pack_chunks(
     tokens_col: Column | None = None,
     n_buckets: int = 4096,
     salt: str = "pack:",
+    persist: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """Assign each document its span in the chopped token stream.
 
@@ -67,6 +69,13 @@ def pack_chunks(
             F.expr(f"CAST(hkey DIV {(1 << 60) // n_buckets} AS INT)"),
         )
     )
+    if persist and handles is not None:
+        # keyed feeds the histogram AND the placed branch — persist so the
+        # input subtree (md5 key + token split, or a whole upstream
+        # curation pipeline in curation_e2e) evaluates once; release via
+        # the caller's handles (house rule)
+        keyed = keyed.persist()
+        handles.append(keyed)
     hist = keyed.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     w_below = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     below = hist.select(

@@ -76,7 +76,8 @@ def passage_occurrences(
 
 
 def passage_dedup(
-    df: DataFrame, k: int = PASSAGE_WORDS, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = PASSAGE_WORDS, text_col: str = "text", id_col: str = "doc_id",
+    persist: bool = False, handles: list | None = None,
 ) -> DataFrame:
     """Dedup at passage granularity and rebuild each document.
 
@@ -84,6 +85,12 @@ def passage_dedup(
     input document; ``text_dedup = ''`` when every passage was a repeat.
     """
     occ = passage_occurrences(df, k, text_col, id_col).select(id_col, "pidx", "phash")
+    if persist and handles is not None:
+        # occ (passage explode + md5 hash per passage) feeds the winners
+        # aggregate AND the kept join — persist so it evaluates once;
+        # release via the caller's handles (house rule)
+        occ = occ.persist()
+        handles.append(occ)
     winners = occ.groupBy("phash").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pidx").alias("p"))).alias("w")
     )

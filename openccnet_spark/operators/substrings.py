@@ -99,7 +99,8 @@ def kgram_occurrences(
 
 
 def substring_dedup(
-    df: DataFrame, k: int = WINDOW_TOKENS, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = WINDOW_TOKENS, text_col: str = "text", id_col: str = "doc_id",
+    persist: bool = False, handles: list | None = None,
 ) -> DataFrame:
     """Remove corpus-duplicated >= k-token substrings from every document.
 
@@ -107,6 +108,12 @@ def substring_dedup(
     row per input document, all columns deterministic.
     """
     occ = kgram_occurrences(df, k, text_col, id_col)
+    if persist and handles is not None:
+        # occ (window explode + md5 hash per k-gram — the expensive stage)
+        # feeds the winners aggregate AND the coverage join — persist so
+        # it evaluates once; release via the caller's handles (house rule)
+        occ = occ.persist()
+        handles.append(occ)
     winners = occ.groupBy("ghash").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("w")
     )
