@@ -130,6 +130,62 @@ def lsh_bucket_col(vec_col, planes: np.ndarray, table: int):
     return F.concat_ws("_", F.lit(table), key)
 
 
+def lsh_tagged_compact(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(id, vector, norm, buckets array<string>) — ONE row per vector,
+    all ``N_TABLES`` bucket keys in a single array column.
+
+    This is the Arrow-efficient core of ``lsh_tagged_frame``: the old
+    exploded form shipped every vector ``N_TABLES`` (8) times across the
+    Python->JVM Arrow boundary (the dominant bytes of the tagging stage —
+    each 64-float vector is ~50x its id). The compact form crosses once
+    per vector; consumers that need the exploded (id, bucket) rows derive
+    them with a JVM-side ``explode`` of the slim columns only, and attach
+    the vector/norm payload AFTER candidate pairs are deduplicated
+    (guide §8: decide with small rows, move heavy rows once). Bucket
+    math is unchanged (same cumsum fold, same keys).
+    """
+    import pandas as pd
+
+    planes = _hyperplanes(dim)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def _tag(batches):
+        for pdf in batches:
+            if not len(pdf):  # np.stack raises on an empty batch
+                continue
+            xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(xs)
+            # fold-ordered norm: cumsum accumulates left-to-right like the
+            # F.aggregate fold / the oracle's sql_norm — bit-identical
+            norms = np.sqrt(np.cumsum(xs * xs, axis=1)[:, -1])
+            keys = np.empty((n_tables, n), dtype=np.int64)
+            for t in range(n_tables):
+                prods = xs[:, None, :] * planes[t][None, :, :]
+                proj = np.cumsum(prods, axis=2)[:, :, -1]
+                keys[t] = ((proj >= 0).astype(np.int64) << np.arange(n_planes)).sum(
+                    axis=1
+                )
+            buckets = [
+                [f"{t}_{keys[t, i]}" for t in range(n_tables)] for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(pdf[vec_col]),
+                    "norm": norms,
+                    "buckets": buckets,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _tag,
+        f"{id_col} long, {vec_col} {vec_type}, norm double, buckets array<string>",
+    )
+
+
 def lsh_tagged_frame(
     df: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> DataFrame:
@@ -154,45 +210,15 @@ def lsh_tagged_frame(
 
     Note: a filter on ``id_col`` cannot push BELOW a mapInPandas stage —
     callers that need a tagged subset (the ANN query side) must filter
-    the input BEFORE calling this, not the output."""
-    import pandas as pd
+    the input BEFORE calling this, not the output.
 
-    planes = _hyperplanes(dim)
-    n_tables, n_planes = planes.shape[0], planes.shape[1]
-    vec_type = dict(df.dtypes)[vec_col]  # preserve float/double element type
-
-    def _tag(batches):
-        for pdf in batches:
-            if not len(pdf):  # np.stack raises on an empty batch
-                continue
-            xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n = len(xs)
-            # fold-ordered norm: cumsum accumulates left-to-right like the
-            # F.aggregate fold / the oracle's sql_norm — bit-identical
-            norms = np.sqrt(np.cumsum(xs * xs, axis=1)[:, -1])
-            keys = np.empty((n_tables, n), dtype=np.int64)
-            for t in range(n_tables):
-                prods = xs[:, None, :] * planes[t][None, :, :]
-                proj = np.cumsum(prods, axis=2)[:, :, -1]
-                keys[t] = ((proj >= 0).astype(np.int64) << np.arange(n_planes)).sum(
-                    axis=1
-                )
-            ids = np.tile(pdf[id_col].to_numpy(), n_tables)
-            vecs = list(pdf[vec_col]) * n_tables
-            buckets = [
-                f"{t}_{keys[t, i]}" for t in range(n_tables) for i in range(n)
-            ]
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    vec_col: vecs,
-                    "norm": np.tile(norms, n_tables),
-                    "bucket": buckets,
-                }
-            )
-
-    return df.select(id_col, vec_col).mapInPandas(
-        _tag, f"{id_col} long, {vec_col} {vec_type}, norm double, bucket string"
+    Implementation: a JVM-side explode of ``lsh_tagged_compact`` — the
+    vector payload crosses the Arrow boundary once per vector instead of
+    once per (vector, table); the exploded rows are identical."""
+    compact = lsh_tagged_compact(df, id_col, vec_col, dim)
+    return compact.select(
+        F.col(id_col), F.col(vec_col), F.col("norm"),
+        F.explode("buckets").alias("bucket"),
     )
 
 
@@ -230,16 +256,16 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
         F.col("norm").alias("nn"), "bucket",
     )
-    # Score BEFORE distinct: a pair can surface from up to N_TABLES buckets,
-    # and deduping on (query_id, qv, neighbor_id, nv) would push two 64-float
-    # arrays (~1 KB/row, ~50x the ids) through the distinct's hash exchange.
-    # cosine is deterministic, so duplicate candidate rows produce identical
-    # cos_milli and collapse under a scalar-only distinct — the exchange
-    # carries 3 scalars at the cost of <= N_TABLES recomputes of a cheap
-    # JVM fold (the same shape dedup.lsh_candidate_pairs already uses).
-    # carried-norm cosine: dot/(qn*nn) — the norms were folded once per
-    # vector in the Arrow stage (bit-identical to the inline _norm fold),
-    # so each candidate pair costs ONE 64-element fold instead of three
+    # Score BEFORE distinct — deliberately NOT the pair-first shape
+    # lsh_near_duplicates uses: the query side is a handful of rows, so
+    # the candidate volume is tiny (|Q| x bucketmates) and the dominant
+    # cost is evaluating the corpus tagging, which this shape does ONCE
+    # (a pair-first rewrite was measured ~1.5x slower here — it needs the
+    # corpus subtree twice, for buckets and for the vector attach).
+    # Duplicate candidate rows (<= N_TABLES per pair) produce identical
+    # cos_milli and collapse under the scalar-only distinct — the
+    # exchange carries 3 scalars, never the vectors. Carried-norm cosine:
+    # dot/(qn*nn), one 64-element fold per candidate row instead of three.
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -652,45 +678,53 @@ def lsh_near_duplicates(
     — effectively total, which is why this can share the brute-force
     oracle on the test corpus.
     """
-    tagged = lsh_tagged_frame(df, id_col, vec_col, dim)
+    compact = lsh_tagged_compact(df, id_col, vec_col, dim)
     if persist and handles is not None:
-        # the tagged frame (one Arrow bucket stage) is consumed by the
-        # oversized count AND both self-join sides — persist so it
-        # evaluates once; only with a release channel (caller unpersists
-        # via ``handles`` — an unreleasable persist leaks, CLAUDE.md)
-        tagged = tagged.persist()
-        handles.append(tagged)
+        # the compact tagging (one Arrow stage, ONE row per vector) is
+        # consumed by the bucket explode, the guard count and both vector
+        # attach sides — persist so it evaluates once; only with a release
+        # channel (caller unpersists via ``handles`` — an unreleasable
+        # persist leaks, CLAUDE.md). The footprint is 1/N_TABLES of the
+        # old exploded persist.
+        compact = compact.persist()
+        handles.append(compact)
+    # Candidate generation on SLIM rows (guide §8): only (bucket, id)
+    # flows through the self-join and the pair distinct — the old plan
+    # carried both 64-float vectors through the bucket join and paid the
+    # cosine fold once per shared bucket (<= N_TABLES recomputes per
+    # pair). Deduplicating first means each surviving pair is scored
+    # exactly once, and the distinct's exchange carries two longs.
+    buckets = compact.select(F.col(id_col), F.explode("buckets").alias("bucket"))
     # degenerate-bucket guard (same rationale as dedup.lsh_candidate_pairs
     # MAX_BUCKET): a hot bucket — zero-norm or identical-direction vectors
     # en masse — would otherwise re-create the O(n^2) join this operator
     # exists to avoid. Aggregate + broadcast anti-join, not a sort-window.
-    sized = oversized_bucket_filter(tagged, "bucket")
-    a = sized.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-        F.col("norm").alias("na"), "bucket",
-    )
-    b = sized.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-        F.col("norm").alias("nb"), "bucket",
-    )
-    # score, THEN threshold-filter, THEN distinct: cosine is deterministic,
-    # so the <= N_TABLES duplicate candidate rows of a pair collapse under a
-    # scalar-only distinct — the hash exchange carries (a, b, cos_milli),
-    # never the two ~1 KB embedding arrays, and the filter has already
-    # discarded the non-duplicate bulk before anything shuffles. The
-    # carried norms (tagged once per vector in the Arrow stage) make the
-    # per-pair cosine dot/(na*nb) — one fold, not three; bit-identical to
-    # the oracle's inline sql_norm because cumsum == the fold.
-    return (
-        a.join(b, "bucket")
+    sized = oversized_bucket_filter(buckets, "bucket")
+    pairs = (
+        sized.select("bucket", F.col(id_col).alias("a"))
+        .join(sized.select("bucket", F.col(id_col).alias("b")), "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # attach payloads once per pair side and score once per pair; the
+    # carried norms make the cosine dot/(na*nb) — one 64-element fold,
+    # bit-identical to the oracle's inline sql_norm (cumsum == the fold)
+    va = compact.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("norm").alias("na")
+    )
+    vb = compact.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
         .withColumn(
             "cos_milli",
             F.floor(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1000).cast("long"),
         )
         .filter(F.col("cos_milli") >= threshold_milli)
         .select("a", "b", "cos_milli")
-        .distinct()
     )
 
 
@@ -721,24 +755,38 @@ def semantic_decontaminate(
     Output: ``(id_col, n_matches, max_cos_milli)`` — contaminated corpus
     rows only (downstream anti-joins the ids away).
     """
-    tagged_c = lsh_tagged_frame(corpus, id_col, vec_col, dim)
-    tagged_e = lsh_tagged_frame(eval_df, id_col, vec_col, dim)
+    compact_c = lsh_tagged_compact(corpus, id_col, vec_col, dim)
+    compact_e = lsh_tagged_compact(eval_df, id_col, vec_col, dim)
     if persist and handles is not None:
-        # the corpus tagging is consumed by the guard count and the join
-        # probe — persist only with a release channel (CLAUDE.md)
-        tagged_c = tagged_c.persist()
-        handles.append(tagged_c)
-    sized_c = oversized_bucket_filter(tagged_c, "bucket")
-    c = sized_c.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("vc"),
-        F.col("norm").alias("nc"), "bucket",
+        # the corpus tagging is consumed by the bucket explode, the guard
+        # count and the vector attach — persist only with a release
+        # channel (CLAUDE.md); eval side is bounded but also reused twice
+        compact_c = compact_c.persist()
+        handles.append(compact_c)
+        compact_e = compact_e.persist()
+        handles.append(compact_e)
+    # slim candidate generation (guide §8): the cross-set bucket join and
+    # the pair distinct carry ids only; the corpus-side 100 TB payload
+    # attaches to the deduplicated pairs, so each pair is scored exactly
+    # once (the old plan carried both vectors through the bucket join and
+    # re-scored per shared bucket, <= N_TABLES times)
+    c_buckets = oversized_bucket_filter(
+        compact_c.select(F.col(id_col).alias("cid"), F.explode("buckets").alias("bucket")),
+        "bucket",
     )
-    e = tagged_e.select(
-        F.col(id_col).alias("eid"), F.col(vec_col).alias("ve"),
-        F.col("norm").alias("ne"), "bucket",
+    e_buckets = compact_e.select(
+        F.col(id_col).alias("eid"), F.explode("buckets").alias("bucket")
+    )
+    cand = c_buckets.join(e_buckets, "bucket").select("cid", "eid").distinct()
+    cv = compact_c.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("vc"), F.col("norm").alias("nc")
+    )
+    ev = compact_e.select(
+        F.col(id_col).alias("eid"), F.col(vec_col).alias("ve"), F.col("norm").alias("ne")
     )
     pairs = (
-        c.join(e, "bucket")
+        cand.join(cv, "cid")
+        .join(ev, "eid")
         .withColumn(
             "cos_milli",
             F.floor(
@@ -746,10 +794,7 @@ def semantic_decontaminate(
             ).cast("long"),
         )
         .filter(F.col("cos_milli") >= threshold_milli)
-        # scalar-only distinct collapses the <= N_TABLES bucket copies of
-        # a pair before the aggregate — ids + score, never the vectors
         .select("cid", "eid", "cos_milli")
-        .distinct()
     )
     return pairs.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_matches"),
