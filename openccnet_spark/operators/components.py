@@ -319,6 +319,15 @@ def connected_components_star(
     sf0.1: 23.4 s at interval=4 vs 7.1 s at 1 — BENCH.md round 5). The
     knob's win is for propagation's many shallow rounds.
     """
+    # pairs feeds BOTH the canonical edge set and the node set — when it
+    # is an un-materialized verify-join (the bench's minhash output) each
+    # reference re-executed the candidate+verify joins. Persist
+    # internally: unlike most operators this one is safe to self-persist
+    # with no release channel, because the loop below eagerly
+    # materializes (checkpoints) everything derived from it, so the
+    # persist is released in the outer finally BEFORE the caller ever
+    # evaluates the returned frame.
+    pairs = pairs.persist()
     e = (
         pairs.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
@@ -409,6 +418,8 @@ def connected_components_star(
         # the result — never deleted here)
         out = ck.step(out, force=True) if reliable else _checkpointer(out, False)
     finally:
+        # out is eagerly checkpointed above — nothing can re-read these
+        pairs.unpersist()
         nodes.unpersist()
         for f in round_persists:
             f.unpersist()

@@ -178,11 +178,21 @@ def oversized_bucket_filter(
 def banded_frame(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band_key) exploded over the 21 LSH bands — the banding both the
     one-shot self-join dedup AND the incremental index path share, so a
-    stored index's band keys always match a fresh batch's."""
+    stored index's band keys always match a fresh batch's (keys are
+    DERIVED from the stored ``sig`` column, never stored themselves).
+
+    ``band_key`` is a 64-bit ``xxhash64(band_index, row values...)``
+    rather than the old underscore-joined STRING: the band frame is the
+    biggest exchange of the minhash path (N_BANDS rows per doc), and an
+    8-byte key shuffles/compares ~4x cheaper than a ~30-byte string while
+    skipping per-row string construction entirely (guide §2.3, narrower
+    types). A 64-bit band-key collision (~n_buckets^2 / 2^64) could only
+    ADD a candidate pair, and every candidate is verified by exact
+    Jaccard downstream — recall and output are unaffected.
+    """
     bands = F.array(
         *[
-            F.concat_ws(
-                "_",
+            F.xxhash64(
                 F.lit(i),
                 *[F.element_at("sig", i * ROWS_PER_BAND + j + 1) for j in range(ROWS_PER_BAND)],
             )
