@@ -393,15 +393,16 @@ def simhash_near_duplicates(
     if persist and handles is not None:
         sh = sh.persist()
         handles.append(sh)
+    # band key packed BIJECTIVELY into a long — (band_index << 15) | band
+    # value — instead of a built string: identical buckets by construction
+    # (no hashing, no collisions), ~4x narrower shuffle keys and no
+    # per-row string assembly (guide §2.3, narrower types)
     bands = F.array(
         *[
-            F.concat_ws(
-                "_",
-                F.lit(i),
-                F.shiftrightunsigned("simhash", i * _SIMHASH_BAND_BITS).bitwiseAND(
-                    F.lit(_SIMHASH_BAND_MASK)
-                ),
-            )
+            F.shiftrightunsigned("simhash", i * _SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+            .cast("long")
+            + F.lit(i << _SIMHASH_BAND_BITS).cast("long")
             for i in range(SIMHASH_BANDS)
         ]
     )
