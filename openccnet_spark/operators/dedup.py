@@ -157,6 +157,46 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(_sign, out_schema)
 
 
+def _signatures_with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig, sh): MinHash signatures AND the distinct shingle sets in
+    ONE Arrow pass — the shingle strings are already materialized in
+    Python to hash them, so emitting them costs only the Arrow transfer,
+    while the separate JVM ``shingles_col`` projection (and its second
+    evaluation of the input subtree) disappears from
+    ``minhash_near_duplicates``. The emitted set equals ``shingles_col``'s
+    array elementwise-as-a-set (same split, same join, same distinct);
+    array ORDER differs, which no consumer observes — the Jaccard verify
+    uses size/intersect only (order-insensitive, oracle-pinned)."""
+    out_schema = f"{id_col} long, sig array<long>, sh array<string>"
+    a, b = _PERM_A, _PERM_B
+
+    def _run(batches):
+        for pdf in batches:
+            ids, sigs, shs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split(" ")
+                sh = {
+                    " ".join(words[i : i + 3])
+                    for i in range(max(len(words) - 2, 0))
+                }
+                if not sh:
+                    sig = np.zeros(N_PERMS, dtype=np.int64)
+                else:
+                    h = np.array(
+                        [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.uint64
+                    )
+                    vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                    sig = vals.min(axis=1).astype(np.int64)
+                ids.append(did)
+                sigs.append(sig.tolist())
+                shs.append(list(sh))
+            yield pd.DataFrame({id_col: ids, "sig": sigs, "sh": shs})
+
+    return df.select(id_col, text_col).mapInPandas(_run, out_schema)
+
+
 def oversized_bucket_filter(
     buckets: DataFrame, key: str, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
@@ -248,20 +288,22 @@ def minhash_near_duplicates(
     """MinHash/LSH candidates verified by exact Jaccard on distinct shingles.
 
     Output: (a, b, jaccard_milli) with a < b and jaccard >= threshold.
-    ``persist`` materializes BOTH reused frames — the banded signatures
-    (consumed by the bucket count and both sides of the self-join) and the
-    shingle sets (joined once per pair side) — so the document scan and
-    the shingling run once, not four times. Persisted frames are appended
-    to ``handles`` for the caller to unpersist after materialization.
+    Signatures and shingle sets come from ONE fused Arrow pass
+    (``_signatures_with_shingles``) — the input subtree is scanned once,
+    not once for the JVM shingle projection plus once for the signature
+    stage. ``persist`` materializes the reused frames — the fused
+    (sig, sh) frame (consumed by the banding and both verify sides) and
+    the banded keys (bucket count + both self-join sides). Persisted
+    frames are appended to ``handles`` for the caller to unpersist after
+    materialization.
     """
-    shingled = df.select(
-        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    combined = _signatures_with_shingles(df, text_col, id_col)
     if persist and handles is not None:
-        shingled = shingled.persist()
-        handles.append(shingled)
+        combined = combined.persist()
+        handles.append(combined)
+    shingled = combined.select(F.col(id_col), "sh").filter(F.size("sh") > 0)
     pairs = lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col), id_col,
+        combined.select(F.col(id_col), "sig"), id_col,
         persist=persist, handles=handles,
     )
     sa = shingled.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
