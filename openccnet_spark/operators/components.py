@@ -195,7 +195,12 @@ def connected_components(
             ).alias("de")
         )
         .select(F.col("de.src").alias("src"), F.col("de.dst").alias("dst"))
-        .distinct()
+        # NO distinct: min-label propagation is multiset-safe (a duplicate
+        # edge contributes the same label to the same min), so deduping
+        # buys nothing for correctness and costs a FULL edge-sized shuffle
+        # before the repartition below. The usual input (a < b near-dup
+        # pairs) explodes to already-distinct directed edges anyway;
+        # inputs with duplicate pairs merely pad the per-round join.
         # pre-partition on the per-round join key: the persisted
         # HashPartitioning(dst) satisfies every iteration's join
         # distribution, so the big edge frame shuffles ONCE up front
