@@ -559,10 +559,14 @@ def incremental_minhash_dedup(
     as a secondary bucketed table to skip even that), joins on band_key,
     and verifies only candidates. Nothing is ever re-deduped.
     """
-    new_sigs = minhash_signatures(batch, text_col, id_col)
+    # fused signature+shingle pass over the batch (same as
+    # minhash_near_duplicates): the batch subtree is scanned once and the
+    # separate JVM shingle projection disappears; sh_new below reuses it
+    new_combined = _signatures_with_shingles(batch, text_col, id_col)
     if persist and handles is not None:
-        new_sigs = new_sigs.persist()
-        handles.append(new_sigs)
+        new_combined = new_combined.persist()
+        handles.append(new_combined)
+    new_sigs = new_combined.select(F.col(id_col), "sig")
     new_bands = banded_frame(new_sigs, id_col).withColumn("side", F.lit("n"))
     old_bands = banded_frame(index_sigs, id_col).withColumn("side", F.lit("o"))
     all_bands = new_bands.unionByName(old_bands)
@@ -590,12 +594,10 @@ def incremental_minhash_dedup(
         .select("a", "b")
         .distinct()
     )
-    sh_new = batch.select(
-        F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
-    if persist and handles is not None:
-        sh_new = sh_new.persist()
-        handles.append(sh_new)
+    # shingle sets ride the fused pass — no second batch scan, no separate
+    # JVM shingle projection (set-equal to shingles_col; order-insensitive
+    # consumers only)
+    sh_new = new_combined.select(F.col(id_col), "sh").filter(F.size("sh") > 0)
     sh_old = corpus.select(
         F.col(id_col), shingles_col(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
