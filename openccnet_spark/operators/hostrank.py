@@ -119,16 +119,13 @@ def host_rank(
     degree-annotated edge list (reused every round) and appends it to
     ``handles`` for the caller to unpersist.
     """
-    if persist and handles is not None:
-        # edges feeds the node set, the degree aggregate and the
-        # degree-annotated join — without this the upstream subtree (a
-        # docs scan + explode + distinct for the synthetic graph) ran
-        # once per consumer. Release via the caller's handles.
-        edges = edges.persist()
-        handles.append(edges)
     # ONE explode pass over edges (a union of two projections would
     # reference — and for an un-persisted input, re-execute — the edge
-    # subtree twice; same fix as components.connected_components)
+    # subtree twice; same fix as components.connected_components).
+    # NB: persisting edges/nodes themselves was tried and A/B'd SLOWER
+    # (interleaved, min-of-3: 1.83 vs 2.20 s) — the cache materialization
+    # jobs cost more than the cheap synth-edge re-evaluations they save;
+    # only the round-reused degree-annotated edge list pays for a persist.
     nodes = (
         edges.select(
             F.explode(F.array(F.col("src"), F.col("dst"))).alias("host")
@@ -138,10 +135,6 @@ def host_rank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out"))
     edges_deg = edges.join(deg, "src")
     if persist and handles is not None:
-        # nodes is read every round (the left join) plus the initial rank
-        # frame and the count below
-        nodes = nodes.persist()
-        handles.append(nodes)
         edges_deg = edges_deg.persist()
         handles.append(edges_deg)
     n = nodes.count()

@@ -75,9 +75,7 @@ def test_plan_edges_persist_and_partial_sums(spark):
     )
     handles: list = []
     df = host_rank(edges, n_rounds=2, persist=True, handles=handles)
-    # r8: edges, nodes and the degree-annotated edge list all persist
-    # (each is consumed by several subtrees; see hostrank.py)
-    assert len(handles) == 3
+    assert len(handles) == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan
     assert "Window" not in plan
