@@ -137,13 +137,18 @@ def detect_language(text: str) -> str:
         return "und"
     sample = text[:SAMPLE_CHARS]
     n = len(sample)
-    # kana first: kanji-heavy Japanese would otherwise trip the Han rule
-    if len(_KANA_RE.findall(sample)) >= SCRIPT_RATIO * n:
-        return "ja"
-    if len(_HANGUL_RE.findall(sample)) >= SCRIPT_RATIO * n:
-        return "ko"
-    if han_count(sample) >= HAN_RATIO * n:
-        return "zh"
+    # ASCII fast path (exact): kana/hangul/han counts are 0 for pure-ASCII
+    # text and the thresholds are > 0 (n >= 1 here), so all three script
+    # rules are decided false without running their regex scans — a large
+    # share of web/transcript turns take this branch (isascii is a C scan)
+    if not sample.isascii():
+        # kana first: kanji-heavy Japanese would otherwise trip the Han rule
+        if len(_KANA_RE.findall(sample)) >= SCRIPT_RATIO * n:
+            return "ja"
+        if len(_HANGUL_RE.findall(sample)) >= SCRIPT_RATIO * n:
+            return "ko"
+        if han_count(sample) >= HAN_RATIO * n:
+            return "zh"
     if _ALPHA_RE.search(sample) is None:
         return "und"
     scores = _profile_matrix()[:, _tri_hashes(sample)].sum(axis=1)

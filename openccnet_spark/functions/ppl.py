@@ -115,6 +115,12 @@ def perplexity(text: str) -> float:
     if len(t) < 2:
         return 0.0
     ids, logp = _matrix_model()
-    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # uint32 code points index the LUT directly — the int64 astype was a
+    # pure copy (indices are indices; the gathered values are unchanged)
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
     seq = ids[cps]
-    return float(math.exp(-logp[seq[:-1], seq[1:]].mean()))
+    v = logp[seq[:-1], seq[1:]]
+    # sum()/size is bit-identical to .mean() (same pairwise reduction,
+    # same float64 division) minus ndarray.mean's per-call bookkeeping —
+    # this function runs once per surviving turn
+    return float(math.exp(-(v.sum() / v.size)))

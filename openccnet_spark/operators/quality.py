@@ -144,9 +144,16 @@ def lang_simple_col(col: Column) -> Column:
 
 
 def scrub_text(text: str) -> str:
-    for pattern, repl in _PII_COMPILED:
-        text = pattern.sub(repl, text)
-    return text
+    # exact containment preconditions (C-speed memchr) gate the regex
+    # scans: the email pattern cannot match without a literal '@', the
+    # phone pattern without a literal '+' — most turns carry neither, so
+    # those subs are skipped with identical output by construction
+    (email_p, email_r), (phone_p, phone_r), (id_p, id_r) = _PII_COMPILED
+    if "@" in text:
+        text = email_p.sub(email_r, text)
+    if "+" in text:
+        text = phone_p.sub(phone_r, text)
+    return id_p.sub(id_r, text)
 
 
 def quality_metrics(text: str) -> dict:
