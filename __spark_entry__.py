@@ -2170,7 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # representative per long-green family. Everything past position 50 is
     # still covered by tests/test_entry_contract.py's oracle replay.
     return {
-        # -- flagship + conversion representatives (r6-green) -------------
+        # -- flagship + conversion representatives (long-green) ------------
         "pipeline_transcripts": _armed(_q_pipeline),
         "convert_goldens": _armed(_q_convert_goldens),
         **(
@@ -2178,79 +2178,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if os.path.exists(_ZSTD_BUNDLE)
             else {}
         ),
-        # -- never driver-checked before round 7 ---------------------------
+        # -- never driver-checked (registered at r7 tail positions 88-95;
+        #    rotated in per the r7 verdict's standing fix) ------------------
+        "dedup_substring": _armed(_q_dedup_substring),
+        "url_host_rank": _armed(_q_url_host_rank),
+        "conv_pack": _armed(_q_conv_pack),
+        "html_boilerplate": _armed(_q_html_boilerplate),
+        "decontaminate_semantic": _armed(_q_decontaminate_semantic),
+        "snapshot_time_travel": _armed(_q_snapshot_time_travel),
+        "url_robots_gate": _armed(_q_url_robots_gate),
+        "crawl_budget": _armed(_q_crawl_budget),
+        # -- operators whose internals changed in round 8 (persists,
+        #    band-key packing, fused Arrow passes, components init,
+        #    LSH pair-first verify) — the driver must re-certify these ----
+        "dedup_minhash": _armed(_q_dedup_minhash),
+        "dedup_simhash": _armed(_q_dedup_simhash),
+        "dedup_passage": _armed(_q_dedup_passage),
+        "dedup_components": _armed(_q_dedup_components),
+        "dedup_components_star": _armed(_q_dedup_components_star),
+        "dedup_canonical": _armed(_q_dedup_canonical),
+        "split_leakage_safe": _armed(_q_split_leakage_safe),
+        "dedup_incremental": _armed(_q_dedup_incremental),
+        "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
+        "similarity_ann": _armed(_q_similarity_ann),
+        "similarity_recall": _armed(_q_similarity_recall),
+        "dedup_semantic": _armed(_q_dedup_semantic),
+        "quality_top_fraction": _armed(_q_quality_top_fraction),
+        "budget_select": _armed(_q_budget_select),
+        "mixture_rebalance": _armed(_q_mixture_rebalance),
+        "pack_chunks": _armed(_q_pack_chunks),
+        "curation_e2e": _armed(_q_curation_e2e),
+        "streaming_quality_filter": _armed(_q_streaming_quality_filter),
+        "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
+        # -- per-turn shared-code consumers (langid/ppl/scrub micro-opts;
+        #    outputs bit-identical but the driver should prove it) ---------
+        "quality_documents": _armed(_q_quality_documents),
         "conv_fold_tools": _armed(_q_conv_fold_tools),
         "conv_gate": _armed(_q_conv_gate),
         "conv_dedup_exact": _armed(_q_conv_dedup_exact),
         "conv_render": _armed(_q_conv_render),
+        # -- long-green family representatives ------------------------------
         "lm_train": _armed(_q_lm_train),
         "lm_score": _armed(_q_lm_score),
+        "lm_bucket": _armed(_q_lm_bucket),
         "lm_score_lang": _armed(_q_lm_score_lang),
         "lm_score_trigram": _armed(_q_lm_score_trigram),
-        "lm_bucket": _armed(_q_lm_bucket),
         "url_canonicalize": _armed(_q_url_canonicalize),
         "url_dedup": _armed(_q_url_dedup),
         "url_domain_gate": _armed(_q_url_domain_gate),
-        "pack_chunks": _armed(_q_pack_chunks),
-        "shard_manifest": _armed(_q_shard_manifest),
-        "curation_e2e": _armed(_q_curation_e2e),
-        "sketch_heavy_hitters": _armed(_q_sketch_heavy_hitters),
-        "sketch_hll_distinct": _armed(_q_sketch_hll_distinct),
-        "hypertable_rollup": _armed(_q_hypertable_rollup),
-        "events_asof_join": _armed(_q_events_asof_join),
-        "events_range_join": _armed(_q_events_range_join),
-        "streaming_quality_filter": _armed(_q_streaming_quality_filter),
-        # -- checked r5, fell out of the r6 window --------------------------
-        "st_ts_goldens": _armed(_q_st_ts),
-        "normalize_detofu_goldens": _armed(_q_normalize_detofu),
+        "dedup_exact": _armed(_q_dedup_exact),
+        "similarity_ivf": _armed(_q_similarity_ivf),
+        "quality_classifier": _armed(_q_quality_classifier),
+        "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
+        "warc_extract": _armed(_q_warc_extract),
         "pdf_reflow_convert": _armed(_q_pdf_reflow_convert),
         "office_convert": _armed(_q_office_convert),
+        # ======================= position 50 cutoff ========================
+        # Everything below has driver-green history (r5-r7) and stays pinned
+        # by tests/test_entry_contract.py's oracle replay.
+        "zho_check_goldens": _armed(_q_zho_check),
+        "st_ts_goldens": _armed(_q_st_ts),
+        "normalize_detofu_goldens": _armed(_q_normalize_detofu),
         "textfiles_encodings": _armed(_q_textfiles_encodings),
         "ids_preserve_goldens": _armed(_q_ids_preserve),
         "custom_dict_convert": _armed(_q_custom_dict),
         "events_window": _armed(_q_events_window),
         "events_sessionize": _armed(_q_events_sessionize),
-        "streaming_dedup_replay": _armed(_q_streaming_dedup_replay),
+        "events_asof_join": _armed(_q_events_asof_join),
+        "events_range_join": _armed(_q_events_range_join),
+        "sketch_heavy_hitters": _armed(_q_sketch_heavy_hitters),
+        "sketch_hll_distinct": _armed(_q_sketch_hll_distinct),
+        "hypertable_rollup": _armed(_q_hypertable_rollup),
+        "shard_manifest": _armed(_q_shard_manifest),
         "zho_check_transcripts": _armed(_q_zho_transcripts),
         "topk_customers": _armed(_q_topk_customers),
         "shipping_priority": _armed(_q_shipping_priority),
         "nation_volume": _armed(_q_nation_volume),
         "set_ops": _armed(_q_set_ops),
         "grouping_sets": _armed(_q_grouping_sets),
-        # -- round-7 code changes + family representatives ------------------
-        "quality_documents": _armed(_q_quality_documents),
-        "dedup_exact": _armed(_q_dedup_exact),
-        "dedup_minhash": _armed(_q_dedup_minhash),
-        "dedup_components": _armed(_q_dedup_components),
-        "dedup_canonical": _armed(_q_dedup_canonical),
-        "similarity_ivf": _armed(_q_similarity_ivf),
-        "dedup_embedding_lsh": _armed(_q_dedup_embedding_lsh),
-        "quality_classifier": _armed(_q_quality_classifier),
-        "dedup_bloom_prefilter": _armed(_q_dedup_bloom_prefilter),
-        "warc_extract": _armed(_q_warc_extract),
-        # ======================= position 50 cutoff ========================
-        # Everything below was driver-green in r5/r6 and stays pinned by the
-        # pytest oracle-replay contract.
-        "zho_check_goldens": _armed(_q_zho_check),
         "metrics_rollup": _armed(_q_metrics_rollup),
         "filter_project": _armed(_q_filter_project),
         "broadcast_join": _armed(_q_broadcast_join),
         "window_first_order": _armed(_q_window_first_order),
         "antijoin_resume": _armed(_q_antijoin_resume),
-        "dedup_passage": _armed(_q_dedup_passage),
         "dedup_exact_prehash": _armed(_q_dedup_exact_prehash),
         "dedup_ngram_jaccard": _armed(_q_dedup_ngram_jaccard),
-        "dedup_simhash": _armed(_q_dedup_simhash),
-        "dedup_components_star": _armed(_q_dedup_components_star),
-        "split_leakage_safe": _armed(_q_split_leakage_safe),
-        "dedup_incremental": _armed(_q_dedup_incremental),
         "skew_join_priority": _armed(_q_skew_join_priority),
         "dedup_embedding": _armed(_q_dedup_embedding),
-        "dedup_semantic": _armed(_q_dedup_semantic),
         "similarity_topk": _armed(_q_similarity_topk),
-        "similarity_ann": _armed(_q_similarity_ann),
         "similarity_ivf_sampled": _armed(_q_similarity_ivf_sampled),
-        "similarity_recall": _armed(_q_similarity_recall),
         "similarity_recall_planted": _armed(_q_similarity_recall_planted),
         "textstats": _armed(_q_textstats),
         "vocab_topk": _armed(_q_vocab_topk),
@@ -2264,18 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": _armed(_q_decontaminate_ngram),
         "dsir_select": _armed(_q_dsir_select),
         "sample_stratified": _armed(_q_sample_stratified),
-        "budget_select": _armed(_q_budget_select),
-        "quality_top_fraction": _armed(_q_quality_top_fraction),
         "quality_repetition": _armed(_q_quality_repetition),
-        "mixture_rebalance": _armed(_q_mixture_rebalance),
-        "dedup_substring": _armed(_q_dedup_substring),
-        "url_host_rank": _armed(_q_url_host_rank),
-        "conv_pack": _armed(_q_conv_pack),
-        "html_boilerplate": _armed(_q_html_boilerplate),
-        "decontaminate_semantic": _armed(_q_decontaminate_semantic),
-        "snapshot_time_travel": _armed(_q_snapshot_time_travel),
-        "url_robots_gate": _armed(_q_url_robots_gate),
-        "crawl_budget": _armed(_q_crawl_budget),
     }
 
 
