@@ -55,7 +55,7 @@ import atexit
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -154,6 +154,36 @@ class _RoundCheckpointer:
         out, self._pending = self._pending, []
         return out
 
+    def step_digest(self, df: DataFrame, cols: tuple[str, str]):
+        """``step`` + the round's convergence digest in ONE job.
+
+        The digest rides the materialization as observed metrics
+        (``Dataset.observe`` — ``CollectMetrics`` evaluates inside the
+        checkpoint's own action, since ``checkpoint``/``localCheckpoint``
+        run through ``withAction``), so the separate per-round digest
+        aggregate job disappears wherever ``step`` materializes eagerly
+        (localCheckpoint mode, and every durable round — e.g. the star
+        variant's interval=1 policy paid checkpoint + digest as two jobs
+        per round). Persist-only rounds (reliable mode mid-interval) have
+        no eager action, so a ``count()`` materializes the frame and
+        fires the metrics — the same single evaluate-the-round-plan job
+        the old digest aggregate was, with the xxhash64/XOR work moved
+        inside it. Returns ``(stepped_frame, (count, xor))`` — digest
+        identical to the old two-job form: count + XOR of xxhash64 over
+        the frame's unique rows, order-insensitive."""
+        obs = Observation()
+        out = self.step(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("x"),
+            )
+        )
+        if self.reliable and not self.last_durable:
+            out.count()
+        m = obs.get
+        return out, (m["n"], m["x"])
+
 
 def connected_components(
     pairs: DataFrame,
@@ -231,43 +261,34 @@ def connected_components(
                 F.least(F.col("dst"), F.col("mn")).alias("label"),
             )
         )
-        labels = ck.step(labels)
-
-        def digest(frame):
-            # ANSI-safe label-set digest: summing raw labels overflows on
-            # 64-bit (e.g. xxhash64-derived) ids — ARITHMETIC_OVERFLOW
-            # under default-on ANSI mode. (node, label) pairs are unique,
-            # so count + XOR of xxhash64 is an order-insensitive set
-            # digest; labels are monotone-decreasing, so an unchanged set
-            # (whp) means no label moved — the fixpoint. Same digest as
-            # the star variant.
-            row = frame.agg(
-                F.count(F.lit(1)),
-                F.coalesce(F.bit_xor(F.xxhash64("node", "label")), F.lit(0)),
-            ).first()
-            return (row[0], row[1])
-
-        # NOTE: this pre-loop digest is load-bearing beyond convergence
-        # detection — it MATERIALIZES the persisted labels (and edges
-        # beneath them) before round 1's plan references labels twice
-        # (the rebuild join + nbr_min); dropping it would re-evaluate the
-        # whole un-filled subtree (pairs included) once per reference.
-        prev = digest(labels)
+        # Digest semantics (both variants): ANSI-safe label-set digest —
+        # summing raw labels overflows on 64-bit (e.g. xxhash64-derived)
+        # ids, ARITHMETIC_OVERFLOW under default-on ANSI mode. (node,
+        # label) pairs are unique, so count + XOR of xxhash64 is an
+        # order-insensitive set digest; labels are monotone-decreasing, so
+        # an unchanged set (whp) means no label moved — the fixpoint.
+        # step_digest folds it into each round's materialization (one job
+        # per round, not checkpoint + digest as two); the seed call below
+        # also MATERIALIZES the persisted labels (and edges beneath them)
+        # before round 1's plan references labels twice (the rebuild join
+        # + nbr_min) — without that, the un-filled subtree (pairs
+        # included) would re-evaluate once per reference.
+        labels, prev = ck.step_digest(labels, ("node", "label"))
         for _round in range(max_iterations):
             nbr_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            labels = ck.step(
+            labels, cur = ck.step_digest(
                 labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
                     "node",
                     F.least(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
-                )
+                ),
+                ("node", "label"),
             )
-            cur = digest(labels)
             if stats is not None:
                 stats["rounds"] = _round + 1
             if cur == prev:
@@ -358,11 +379,7 @@ def connected_components_star(
     # 2-4x; track the live one and release it in the outer finally
     round_persists: list[DataFrame] = []
     try:
-        e = ck.step(e)
-        digest = e.agg(
-            F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
-        ).first()
-        prev = (digest[0], digest[1])
+        e, prev = ck.step_digest(e, ("u", "v"))
         for _round in range(max_iterations):
             # ---- large-star ----
             sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -393,15 +410,14 @@ def connected_components_star(
                 .select(F.col("x").alias("u"), F.col("mn").alias("v"))
                 .distinct()
             )
-            e = ck.step(small)
-            digest = e.agg(
-                F.count(F.lit(1)), F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
-            ).first()
-            # the digest materialized e (persist-only rounds are lazy
-            # until an action) — only now is `large` re-read-proof
+            # step_digest folds the convergence digest into the round's
+            # checkpoint job (under star's default interval=1 policy the
+            # old form paid checkpoint + digest as TWO jobs per round) and
+            # always materializes e — only after it is `large`
+            # re-read-proof
+            e, cur = ck.step_digest(small, ("u", "v"))
             large.unpersist()
             round_persists.remove(large)
-            cur = (digest[0], digest[1])
             if stats is not None:
                 stats["rounds"] = _round + 1
             if cur == prev:
